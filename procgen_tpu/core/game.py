@@ -1,0 +1,895 @@
+"""Game base classes: episode lifecycle + the shared 2D physics engine.
+
+This is the TPU-native re-design of the reference's ``Game`` (game.cpp) and
+``BasicAbstractGame`` (basic-abstract-game.cpp).  Key translation decisions:
+
+* A game is a plain Python class holding only **static** configuration (the
+  C++ virtual table becomes trace-time dispatch: XLA sees only the branches
+  the concrete game can actually take).
+* All dynamic per-env data lives in ``BasicState`` — a pytree of arrays with
+  fixed shapes, so ``jit(vmap(step))`` compiles once per (game, options).
+* Step-path randomness uses the one-twist-per-step ``Draws`` cursor; the
+  reset path uses checked per-draw calls (resets are rare and batched).
+* Iteration-order-sensitive loops (reverse entity scans, erase-mid-loop,
+  push chains) are reproduced exactly with ``lax.scan``/``fori_loop`` over
+  packed entity slots; order-insensitive work is vectorised.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import rng
+from .constants import (
+    INT32_MAX,
+    INVALID_OBJ,
+    MAXVTHETA,
+    MIXRATEROT,
+    PLAYER,
+    POS_EPS,
+    SPACE,
+    WALL_OBJ,
+)
+from .entities import Entities, default_fields
+from .options import GameOptions
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+def tree_where(cond, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+@struct.dataclass
+class BasicState:
+    """All dynamic per-env state (Game + BasicAbstractGame fields)."""
+
+    # Game (game.h:64-134)
+    level_seed_rand_gen: rng.MTState
+    rand_gen: rng.MTState
+    current_level_seed: jax.Array
+    prev_level_seed: jax.Array
+    episodes_remaining: jax.Array
+    episode_done: jax.Array
+    reward: jax.Array  # step_data.reward
+    done: jax.Array  # step_data.done
+    level_complete: jax.Array  # step_data.level_complete
+    action: jax.Array
+    cur_time: jax.Array
+    last_reward_timer: jax.Array
+    last_reward: jax.Array
+    total_reward: jax.Array
+    reset_count: jax.Array
+    # BasicAbstractGame (basic-abstract-game.h:121-168)
+    grid: jax.Array  # i32[Gmax], flat with stride main_width
+    main_width: jax.Array
+    main_height: jax.Array
+    ents: Entities
+    bg_pct_x: jax.Array
+    background_index: jax.Array
+    last_move_action: jax.Array
+    move_action: jax.Array
+    special_action: jax.Array
+    mixrate: jax.Array
+    maxspeed: jax.Array
+    max_jump: jax.Array
+    action_vx: jax.Array
+    action_vy: jax.Array
+    action_vrot: jax.Array
+    step_rand_int: jax.Array
+    visibility: jax.Array
+    # per-game extension pytree
+    game: Any = None
+
+
+class BasicAbstractGame:
+    """Static game definition + pure transition functions.
+
+    Subclasses override the ``game_*`` hooks and the physics relations, then
+    declare static capacities (``WORLD_DIM_MAX``, ``ENT_CAP``...).
+    """
+
+    name = "abstract"
+
+    # -- static capacities (override per game) ------------------------------
+    WORLD_DIM_MAX: tuple[int, int] = (64, 64)  # (Wmax, Hmax)
+    ENT_CAP: int = 64
+    MAX_STEP_DRAWS: int = 64  # words of rand_gen consumed per game_step
+    MAX_SUB_STEPS: int = 8  # >= 4*sqrt(vx^2+vy^2) worst case
+    GRID_COLLISION_RANGE: int = 2  # cells probed per axis in check_grid_collisions
+    # static physics specialisation
+    ENTITY_SCAN: bool = False  # sub_step scans entities (block/reflect pairs exist)
+    PUSH_DEPTH: int = 5  # push-chain recursion cap (C++ depth limit, :265)
+    ONLY_AGENT_SMART: bool = True  # only slot 0 has smart_step
+    ANY_COLLIDES_WITH_ENTITIES: bool = False  # O(E^2) dispatch needed
+    SEQUENTIAL_AGENT_HANDLERS: bool = False  # agent-collision handlers must run in
+    # reverse entity order (order-sensitive side effects); else vectorised-safe
+    # games may still get the sequential scan (default) — this flag reserved.
+
+    def __init__(self, options: GameOptions):
+        self.options = options
+        # Game ctor (game.cpp:46-60)
+        self.timeout = 1000
+        self.default_action = 0
+        self.fixed_asset_seed = 0
+        self.grid_step = False
+        self.level_seed_low = 0
+        self.level_seed_high = 1
+        self.game_type = 0
+        # BasicAbstractGame ctor (basic-abstract-game.cpp:22-46)
+        self.char_dim = 5.0
+        self.visibility = 16.0
+        self.min_visibility = 0.0
+        self.mixrate = 0.5
+        self.maxspeed = 0.5
+        self.max_jump = 0.5
+        self.default_action = 4
+        self.bg_tile_ratio = 0.0
+        self.out_of_bounds_object = INVALID_OBJ
+        self.has_useful_vel_info = True
+        self.random_agent_start = True
+        self.center_agent = options.center_agent
+
+    # ------------------------------------------------------------------
+    # capacities / derived statics
+    # ------------------------------------------------------------------
+
+    @property
+    def grid_cap(self) -> int:
+        return self.WORLD_DIM_MAX[0] * self.WORLD_DIM_MAX[1]
+
+    def num_backgrounds(self) -> int:
+        """Static count of the game's background group (resources.cpp:828-953)."""
+        if self.options.use_generated_assets or not self.background_names():
+            return 1
+        return len(self.background_names())
+
+    def background_names(self) -> list[str]:
+        """Override: list of background asset paths (load_background_images)."""
+        return []
+
+    # ------------------------------------------------------------------
+    # virtual hooks (override per game)
+    # ------------------------------------------------------------------
+
+    def choose_world_dim(self, s: BasicState) -> BasicState:
+        return s
+
+    def game_reset(self, s: BasicState) -> BasicState:
+        raise NotImplementedError
+
+    def game_step(self, s: BasicState, d: rng.Draws):
+        raise NotImplementedError
+
+    def game_init_state(self) -> Any:
+        """Initial value of the per-game extension pytree."""
+        return None
+
+    def is_blocked(self, s, slot, target_type, is_horizontal):
+        """basic-abstract-game.cpp:494-501."""
+        blocked = target_type == WALL_OBJ
+        blocked |= target_type == self.out_of_bounds_object
+        return blocked
+
+    def is_blocked_ents(self, s, slot, other, is_horizontal):
+        return self.is_blocked(s, slot, s.ents.type[other], is_horizontal)
+
+    def will_reflect(self, src_type, target_type):
+        return jnp.asarray(False)
+
+    def handle_agent_collision(self, s, d, i):
+        return s, d
+
+    def handle_grid_collision(self, s, d, slot, type_, ix, iy):
+        return s, d
+
+    def handle_collision(self, s, d, src, target):
+        return s, d
+
+    def get_agent_acceleration_scale(self, s):
+        return f32(1.0)
+
+    def set_action_xy(self, s: BasicState, move_action) -> BasicState:
+        """basic-abstract-game.cpp:667-671."""
+        return s.replace(
+            action_vx=(move_action // 3 - 1).astype(f32),
+            action_vy=(move_action % 3 - 1).astype(f32),
+            action_vrot=f32(0.0),
+        )
+
+    def update_agent_velocity(self, s: BasicState) -> BasicState:
+        """basic-abstract-game.cpp:678-688."""
+        v_scale = self.get_agent_acceleration_scale(s)
+        vx = (1 - s.mixrate) * s.ents.vx[0]
+        vy = (1 - s.mixrate) * s.ents.vy[0]
+        vx += s.mixrate * s.maxspeed * s.action_vx * v_scale
+        vy += s.mixrate * s.maxspeed * s.action_vy * v_scale
+        s = s.replace(ents=s.ents.set_fields(0, vx=vx, vy=vy))
+        return self.decay_agent_velocity(s)
+
+    def decay_agent_velocity(self, s: BasicState) -> BasicState:
+        return s.replace(
+            ents=s.ents.set_fields(
+                0, vx=f32(0.9) * s.ents.vx[0], vy=f32(0.9) * s.ents.vy[0]
+            )
+        )
+
+    def choose_center(self, s: BasicState):
+        return s.ents.x[0], s.ents.y[0]
+
+    def should_draw_entity_mask(self, s: BasicState):
+        """Vectorised should_draw_entity; default draws everything."""
+        return jnp.ones((self.ENT_CAP,), bool)
+
+    def asset_for_type(self, type_: int) -> list[str]:
+        """Static sprite paths per object type (names[theme])."""
+        return []
+
+    def use_block_asset(self, type_: int) -> bool:
+        return False
+
+    def image_for_type(self, s, type_):
+        """cpp:446-448 (traced)."""
+        return jnp.abs(type_)
+
+    def theme_for_grid_obj(self, type_):
+        """cpp:450-452 (traced)."""
+        return jnp.zeros_like(jnp.asarray(type_, i32))
+
+    def color_for_type(self, type_, theme):
+        """Flat color per (type, theme).
+
+        Reference semantics: only defined for use_monochrome_assets or
+        game-specific overrides (cpp:464-490).  Until the sprite atlas is
+        wired in, the monochrome formula doubles as the placeholder palette
+        for the asset path.
+        """
+        from ..render.assets import monochrome_color
+
+        if self.options.restrict_themes:
+            theme = jnp.zeros_like(jnp.asarray(theme, i32))
+        return monochrome_color(jnp.asarray(type_, i32) % 64, theme)
+
+    def image_for_type_static(self) -> dict:
+        """Optional static remap table; dynamic image_for_type handled in render."""
+        return {}
+
+    # ------------------------------------------------------------------
+    # grid helpers
+    # ------------------------------------------------------------------
+
+    def get_obj(self, s: BasicState, x, y):
+        """Bounds-checked grid read (basic-abstract-game.cpp:180-185)."""
+        x = jnp.asarray(x, i32)
+        y = jnp.asarray(y, i32)
+        inb = (x >= 0) & (x < s.main_width) & (y >= 0) & (y < s.main_height)
+        idx = jnp.clip(y * s.main_width + x, 0, self.grid_cap - 1)
+        return jnp.where(inb, s.grid[idx], self.out_of_bounds_object)
+
+    def get_obj_idx(self, s: BasicState, idx):
+        idx = jnp.asarray(idx, i32)
+        inb = (idx >= 0) & (idx < s.main_width * s.main_height)
+        return jnp.where(
+            inb, s.grid[jnp.clip(idx, 0, self.grid_cap - 1)], self.out_of_bounds_object
+        )
+
+    def set_obj(self, s: BasicState, x, y, v) -> BasicState:
+        idx = jnp.asarray(y, i32) * s.main_width + jnp.asarray(x, i32)
+        return s.replace(grid=s.grid.at[idx].set(jnp.asarray(v, i32)))
+
+    def set_obj_idx(self, s: BasicState, idx, v) -> BasicState:
+        return s.replace(grid=s.grid.at[idx].set(jnp.asarray(v, i32)))
+
+    def get_obj_from_floats(self, s: BasicState, fx, fy):
+        """basic-abstract-game.cpp:167-174."""
+        neg = (fx < 0) | (fy < 0)
+        x = jnp.floor(fx).astype(i32)
+        y = jnp.floor(fy).astype(i32)
+        return jnp.where(neg, self.out_of_bounds_object, self.get_obj(s, x, y))
+
+    def fill_elem(self, s: BasicState, x, y, dx, dy, elem) -> BasicState:
+        """Static-extent rectangle fill (basic-abstract-game.cpp:125-131).
+
+        dx/dy may be traced; computed as a scatter-free masked select over the
+        static grid buffer (stride = dynamic main_width).
+        """
+        g = jnp.arange(self.grid_cap)
+        gx = g % s.main_width
+        gy = g // s.main_width
+        m = (
+            (gx >= x) & (gx < x + dx) & (gy >= y) & (gy < y + dy)
+            & (g < s.main_width * s.main_height)
+        )
+        return s.replace(grid=jnp.where(m, jnp.asarray(elem, i32), s.grid))
+
+    # ------------------------------------------------------------------
+    # collision predicates (vectorisable)
+    # ------------------------------------------------------------------
+
+    def has_collision(self, s, a, b, margin=0.0):
+        """AABB overlap of slots a,b (basic-abstract-game.cpp:1154-1159)."""
+        e = s.ents
+        tx = e.rx[a] + e.rx[b] + margin
+        ty = e.ry[a] + e.ry[b] + margin
+        return (jnp.abs(e.x[a] - e.x[b]) < tx) & (jnp.abs(e.y[a] - e.y[b]) < ty)
+
+    def collision_mask_vs_slot(self, s, slot, margin):
+        """has_collision(slot, i) for every live slot i."""
+        e = s.ents
+        tx = e.rx[slot] + e.rx + margin
+        ty = e.ry[slot] + e.ry + margin
+        m = (jnp.abs(e.x[slot] - e.x) < tx) & (jnp.abs(e.y[slot] - e.y) < ty)
+        return m & e.active
+
+    def has_agent_collision_mask(self, s):
+        """has_agent_collision for every slot (cpp:1135-1140)."""
+        e = s.ents
+        m = self.collision_mask_vs_slot(s, 0, e.collision_margin)
+        return m & (e.type != PLAYER)
+
+    def is_out_of_bounds_mask(self, s):
+        """cpp:1077-1093, vectorised over slots."""
+        e = s.ents
+        w = s.main_width.astype(f32)
+        h = s.main_height.astype(f32)
+        return (
+            (e.x + e.rx < 0) | (e.y + e.ry < 0) | (e.x - e.rx > w) | (e.y - e.ry > h)
+        )
+
+    # ------------------------------------------------------------------
+    # movement: sub_step / push_obj / basic_step_object (cpp:248-380,602-665)
+    # ------------------------------------------------------------------
+
+    def _sub_step(self, s: BasicState, slot, vx, vy, depth: int):
+        """One axis-aligned micro-move of ``slot``.  Returns (s, blocked).
+
+        ``depth`` is a Python int — the push-chain recursion is unrolled at
+        trace time up to PUSH_DEPTH, mirroring the C++ depth cap (cpp:263-267).
+        """
+        e = s.ents
+        skip = e.will_erase[slot]
+        ny = e.y[slot] + vy
+        nx = e.x[slot] + vx
+        margin = f32(0.98)
+        is_horizontal_t = vx != 0  # traced, used for relation hooks
+
+        # 2x2 corner probes against the grid
+        block = jnp.asarray(False)
+        reflect = jnp.asarray(False)
+        for ci in (0, 1):
+            for cj in (0, 1):
+                px = nx + e.rx[slot] * margin * (2 * ci - 1)
+                py = ny + e.ry[slot] * margin * (2 * cj - 1)
+                t2 = self.get_obj_from_floats(s, px, py)
+                block |= self.is_blocked(s, slot, t2, is_horizontal_t)
+                reflect |= self.will_reflect(e.type[slot], t2)
+
+        # reflect / block position resolution (cpp:300-338)
+        rx_ = e.rx[slot]
+        ry_ = e.ry[slot]
+        # horizontal case
+        dx_ref = jnp.where(
+            vx < 0, jnp.ceil(nx - rx_) - (nx - rx_), jnp.floor(nx + rx_) - (nx + rx_)
+        )
+        nx_ref = nx + 2 * dx_ref
+        dy_ref = jnp.where(
+            vy < 0, jnp.ceil(ny - ry_) - (ny - ry_), jnp.floor(ny + ry_) - (ny + ry_)
+        )
+        ny_ref = ny + 2 * dy_ref
+        if self.grid_step:
+            nx_blk = e.x[slot]
+            ny_blk = e.y[slot]
+        else:
+            nx_blk = jnp.where(vx > 0, jnp.floor(nx + rx_) - rx_, jnp.ceil(nx - rx_) + rx_)
+            ny_blk = jnp.where(vy > 0, jnp.floor(ny + ry_) - ry_, jnp.ceil(ny - ry_) + ry_)
+
+        horiz = is_horizontal_t
+        new_x = jnp.where(
+            reflect, jnp.where(horiz, nx_ref, nx), jnp.where(block & horiz, nx_blk, nx)
+        )
+        new_y = jnp.where(
+            reflect, jnp.where(horiz, ny, ny_ref), jnp.where(block & ~horiz, ny_blk, ny)
+        )
+        new_vx = jnp.where(reflect & horiz, -e.vx[slot], e.vx[slot])
+        new_vy = jnp.where(reflect & ~horiz, -e.vy[slot], e.vy[slot])
+
+        s = s.replace(
+            ents=s.ents.set_fields_where(
+                slot, ~skip, x=new_x, y=new_y, vx=new_vx, vy=new_vy
+            )
+        )
+
+        block2 = jnp.asarray(False)
+        if self.ENTITY_SCAN:
+            s, block2 = self._sub_step_entity_scan(s, slot, vx, vy, depth)
+
+        blocked = jnp.where(skip, False, block | block2)
+        return s, blocked
+
+    def _sub_step_entity_scan(self, s: BasicState, slot, vx, vy, depth: int):
+        """Reverse scan over entities: blocking pushes + reflections
+        (cpp:343-379).  Sequential by necessity — each push mutates ``slot``'s
+        position which the next comparison observes."""
+        horiz = vx != 0
+        cap = self.ENT_CAP
+
+        def body(carry, j):
+            s, block2 = carry
+            i = cap - 1 - j  # reverse order
+            e = s.ents
+            valid = (i < e.count) & (i != slot) & ~e.will_erase[i]
+            coll = self.has_collision(s, slot, i, POS_EPS) & ~e.will_erase[slot]
+            coll &= valid
+            blocked_e = self.is_blocked_ents(s, slot, i, horiz)
+            refl = self.will_reflect(e.type[slot], e.type[i])
+
+            # reflection branch (no blocking): positional bounce (cpp:357-369)
+            do_refl = coll & ~blocked_e & refl
+            delx = e.x[i] - e.x[slot]
+            dely = e.y[i] - e.y[slot]
+            rsumx = e.rx[i] + e.rx[slot]
+            rsumy = e.ry[i] + e.ry[slot]
+            bx = e.x[slot] + jnp.where(vx > 0, -2 * (rsumx - delx), 2 * (rsumx + delx))
+            by = e.y[slot] + jnp.where(vy > 0, -2 * (rsumy - dely), 2 * (rsumy + dely))
+            nvx = jnp.where(do_refl & horiz, -e.vx[slot], e.vx[slot])
+            nvy = jnp.where(do_refl & ~horiz, -e.vy[slot], e.vy[slot])
+            nx = jnp.where(do_refl & horiz, bx, e.x[slot])
+            ny = jnp.where(do_refl & ~horiz, by, e.y[slot])
+            s = s.replace(
+                ents=s.ents.set_fields(slot, x=nx, y=ny, vx=nvx, vy=nvy)
+            )
+
+            # blocking branch: push chain (cpp:371-373)
+            curr_block = coll & blocked_e
+            s = self._push_obj(s, i, slot, vx, vy, depth, do=curr_block)
+            return (s, block2 | curr_block), None
+
+        (s, block2), _ = jax.lax.scan(body, (s, jnp.asarray(False)), jnp.arange(cap))
+        return s, block2
+
+    def _push_obj(self, s: BasicState, src, target, vx, vy, depth: int, do):
+        """push_obj(src, target) (cpp:248-276), masked by ``do``.
+
+        Displaces ``target`` flush against ``src`` via a recursive sub_step,
+        then zeroes the pushed axis velocity.
+        """
+        e = s.ents
+        horiz = vx != 0
+
+        def sign(v):
+            return jnp.where(v > 0, 1.0, jnp.where(v < 0, -1.0, 0.0))
+
+        rsum = jnp.where(horiz, e.rx[src] + e.rx[target], e.ry[src] + e.ry[target])
+        delx = e.x[target] - e.x[src]
+        dely = e.y[target] - e.y[src]
+        t_vx = jnp.where(horiz, e.x[src] + sign(delx) * rsum - e.x[target], 0.0)
+        t_vy = jnp.where(horiz, 0.0, e.y[src] + sign(dely) * rsum - e.y[target])
+
+        if depth < self.PUSH_DEPTH:
+            pushed, _blk = self._sub_step(s, target, t_vx, t_vy, depth + 1)
+            s = tree_where(do, pushed, s)
+
+        e = s.ents
+        nvx = jnp.where(do & horiz, 0.0, e.vx[target])
+        nvy = jnp.where(do & ~horiz, 0.0, e.vy[target])
+        return s.replace(ents=e.set_fields(target, vx=nvx, vy=nvy))
+
+    def basic_step_object(self, s: BasicState, slot):
+        """Sub-stepped movement of one smart entity (cpp:602-665)."""
+        e = s.ents
+        skip = e.will_erase[slot]
+
+        if self.grid_step:
+            num_sub = jnp.asarray(1, i32)
+            max_sub = 1
+        else:
+            speed = jnp.sqrt(e.vx[slot] ** 2 + e.vy[slot] ** 2)
+            num_sub = jnp.maximum(4, (4 * speed).astype(i32))
+            max_sub = self.MAX_SUB_STEPS
+        pct = f32(1.0) / num_sub.astype(f32)
+
+        cmp = jnp.abs(e.vx[slot]) - jnp.abs(e.vy[slot])
+        step_x_first = jnp.where(cmp == 0, s.step_rand_int % 2 == 0, cmp > 0)
+        is_player = e.type[slot] == PLAYER
+        step_x_first = jnp.where(is_player & (s.action_vx != 0), True, step_x_first)
+        step_x_first = jnp.where(is_player & (s.action_vy != 0), False, step_x_first)
+
+        def one_sub(carry, si):
+            s, vx_pct, vy_pct, broken = carry
+            live = (si < num_sub) & ~broken
+
+            def axis_step(s, horiz):
+                v = jnp.where(horiz, s.ents.vx[slot] * pct, s.ents.vy[slot] * pct)
+                vx_ = jnp.where(horiz, v, 0.0)
+                vy_ = jnp.where(horiz, 0.0, v)
+                # C++ dispatches on _vx != 0; a zero-velocity axis call still
+                # runs with is_horizontal=False semantics — mirrored here
+                # because vx_=0 ⇒ horiz flag False in _sub_step.
+                return self._sub_step(s, slot, vx_, vy_, 0)
+
+            def do_xy(s):
+                s1, bx = axis_step(s, jnp.asarray(True))
+                s2, by = axis_step(s1, jnp.asarray(False))
+                return s2, bx, by
+
+            def do_yx(s):
+                s1, by = axis_step(s, jnp.asarray(False))
+                s2, bx = axis_step(s1, jnp.asarray(True))
+                return s2, bx, by
+
+            sx, bxx, byx = do_xy(s)
+            sy, bxy, byy = do_yx(s)
+            s2 = tree_where(step_x_first, sx, sy)
+            bx = jnp.where(step_x_first, bxx, bxy)
+            by = jnp.where(step_x_first, byx, byy)
+
+            s = tree_where(live, s2, s)
+            vx_pct += jnp.where(live & ~bx, 1.0, 0.0)
+            vy_pct += jnp.where(live & ~by, 1.0, 0.0)
+            broken |= live & bx & by
+            return (s, vx_pct, vy_pct, broken), None
+
+        (s, vx_pct, vy_pct, _), _ = jax.lax.scan(
+            one_sub,
+            (s, f32(0.0), f32(0.0), jnp.asarray(False)),
+            jnp.arange(max_sub),
+        )
+        vx_pct = vx_pct / num_sub.astype(f32)
+        vy_pct = vy_pct / num_sub.astype(f32)
+        e = s.ents
+        s = s.replace(
+            ents=e.set_fields_where(
+                slot, ~skip, vx=e.vx[slot] * vx_pct, vy=e.vy[slot] * vy_pct
+            )
+        )
+        return s
+
+    # ------------------------------------------------------------------
+    # per-step pipeline (cpp:695-755)
+    # ------------------------------------------------------------------
+
+    def step_entities(self, s: BasicState):
+        """cpp:1095-1107: reverse order, move smart entities then Entity::step."""
+        if self.ONLY_AGENT_SMART:
+            # Non-agent entities only run Entity::step (order-independent);
+            # the agent (slot 0) moves last, exactly as the reverse loop does.
+            agent_backup = jax.tree_util.tree_map(
+                lambda a: a[0] if a.ndim > 0 else a, s.ents
+            )
+            ents = s.ents.step_all()
+            # undo slot-0 step; agent handled below in correct order
+            restore = {
+                k: getattr(ents, k).at[0].set(getattr(agent_backup, k))
+                for k in ents.__dataclass_fields__
+                if k != "count"
+            }
+            s = s.replace(ents=ents.replace(**restore))
+            s = self.basic_step_object(s, 0)
+            s = s.replace(ents=_entity_step_slot(s.ents, 0))
+            return s
+
+        cap = self.ENT_CAP
+
+        def body(s, j):
+            i = cap - 1 - j
+            live = i < s.ents.count
+            do_smart = live & s.ents.smart_step[i]
+            moved = self.basic_step_object(s, i)
+            s = tree_where(do_smart, moved, s)
+            stepped = _entity_step_slot(s.ents, i)
+            s = s.replace(ents=tree_where(live, stepped, s.ents))
+            return s, None
+
+        s, _ = jax.lax.scan(body, s, jnp.arange(cap))
+        return s
+
+    def check_grid_collisions(self, s: BasicState, d, slot):
+        """cpp:145-165 — probe the entity's AABB cells and dispatch."""
+        e = s.ents
+        ax, ay = e.x[slot], e.y[slot]
+        arx, ary = e.rx[slot], e.ry[slot]
+        min_x = jnp.trunc(ax - (arx + POS_EPS)).astype(i32)
+        max_x = jnp.trunc(ax + (arx + POS_EPS)).astype(i32)
+        min_y = jnp.trunc(ay - (ary + POS_EPS)).astype(i32)
+        max_y = jnp.trunc(ay + (ary + POS_EPS)).astype(i32)
+        r = self.GRID_COLLISION_RANGE
+        for dx in range(r):
+            for dy in range(r):
+                x = min_x + dx
+                y = min_y + dy
+                in_range = (x <= max_x) & (y <= max_y)
+                gtype = self.get_obj_from_floats(s, x.astype(f32), y.astype(f32))
+                hit = in_range & (gtype != SPACE)
+                s2, d2 = self.handle_grid_collision(s, d, slot, gtype, x, y)
+                s = tree_where(hit, s2, s)
+                d = tree_where(hit, d2, d)
+        return s, d
+
+    def dispatch_collisions(self, s: BasicState, d):
+        """cpp:728-750: reverse scan dispatching agent / entity / grid hits."""
+        cap = self.ENT_CAP
+
+        def body(carry, j):
+            s, d = carry
+            i = cap - 1 - j
+            live = i < s.ents.count
+
+            hit_agent = self.has_agent_collision_mask(s)[i] & live
+            s2, d2 = self.handle_agent_collision(s, d, i)
+            s = tree_where(hit_agent, s2, s)
+            d = tree_where(hit_agent, d2, d)
+
+            if self.ANY_COLLIDES_WITH_ENTITIES:
+                def inner(carry, jj):
+                    s, d = carry
+                    k = cap - 1 - jj
+                    live2 = (k < s.ents.count) & (k != i) & live
+                    hit = (
+                        live2
+                        & s.ents.collides_with_entities[i]
+                        & self.has_collision(s, i, k, s.ents.collision_margin[i])
+                        & ~s.ents.will_erase[i]
+                        & ~s.ents.will_erase[k]
+                    )
+                    s3, d3 = self.handle_collision(s, d, i, k)
+                    s = tree_where(hit, s3, s)
+                    d = tree_where(hit, d3, d)
+                    return (s, d), None
+
+                (s, d), _ = jax.lax.scan(inner, (s, d), jnp.arange(cap))
+
+            do_grid = live & s.ents.smart_step[i]
+            s4, d4 = self.check_grid_collisions(s, d, i)
+            s = tree_where(do_grid, s4, s)
+            d = tree_where(do_grid, d4, d)
+            return (s, d), None
+
+        (s, d), _ = jax.lax.scan(body, (s, d), jnp.arange(cap))
+        return s, d
+
+    def erase_if_needed(self, s: BasicState) -> BasicState:
+        """cpp:757-765."""
+        e = s.ents
+        oob = self.is_out_of_bounds_mask(s)
+        keep = ~(e.will_erase | (e.auto_erase & oob))
+        return s.replace(ents=e.compact(keep))
+
+    def game_step_base(self, s: BasicState, d: rng.Draws):
+        """BasicAbstractGame::game_step head + movement + dispatch
+        (cpp:695-755).  Games call this from their ``game_step``."""
+        d, sri = d.randint(0, 1000000)
+        s = s.replace(step_rand_int=sri)
+
+        move_action = s.action % 9
+        special = jnp.where(s.action >= 9, s.action - 8, 0)
+        move_action = jnp.where(s.action >= 9, 4, move_action)
+        last_move = jnp.where(move_action != 4, move_action, s.last_move_action)
+        s = s.replace(
+            move_action=move_action,
+            special_action=special,
+            last_move_action=last_move,
+            action_vrot=f32(0.0),
+            action_vx=f32(0.0),
+            action_vy=f32(0.0),
+        )
+        s = self.set_action_xy(s, move_action)
+
+        if self.grid_step:
+            s = s.replace(
+                ents=s.ents.set_fields(0, vx=s.action_vx, vy=s.action_vy)
+            )
+        else:
+            s = self.update_agent_velocity(s)
+            vrot = MIXRATEROT * s.ents.vrot[0] + MIXRATEROT * MAXVTHETA * s.action_vrot
+            s = s.replace(ents=s.ents.set_fields(0, vrot=vrot))
+
+        s = self.step_entities(s)
+        s, d = self.dispatch_collisions(s, d)
+        s = self.erase_if_needed(s)
+        s = s.replace(done=s.done | self.is_out_of_bounds_mask(s)[0])
+        return s, d
+
+    # ------------------------------------------------------------------
+    # reset-path helpers (checked RNG)
+    # ------------------------------------------------------------------
+
+    def rand01(self, s: BasicState):
+        g, v = rng.rand01(s.rand_gen)
+        return s.replace(rand_gen=g), v
+
+    def randn(self, s: BasicState, n):
+        g, v = rng.randn(s.rand_gen, n)
+        return s.replace(rand_gen=g), v
+
+    def randint(self, s: BasicState, lo, hi):
+        g, v = rng.randint(s.rand_gen, lo, hi)
+        return s.replace(rand_gen=g), v
+
+    def randbool(self, s: BasicState):
+        g, v = rng.randbool(s.rand_gen)
+        return s.replace(rand_gen=g), v
+
+    def randrange(self, s: BasicState, lo, hi):
+        g, v = rng.randrange(s.rand_gen, lo, hi)
+        return s.replace(rand_gen=g), v
+
+    def rand_pos(self, s: BasicState, r, lo, hi):
+        """cpp:1109-1117: draws ONLY when the span exceeds 2r."""
+        g, pos = _rand_pos_raw(s.rand_gen, r, lo, hi)
+        return s.replace(rand_gen=g), pos
+
+    def reposition(self, s, fields: dict, x, y, w, h, check_collisions: bool,
+                   max_tries: int = 100):
+        """cpp:550-568 rejection placement.  Returns (s, fields) with x/y set.
+
+        The candidate entity is not yet in the pool, so collision checks run
+        against current slots + the agent.
+        """
+        rx = fields["rx"]
+        ry = fields["ry"]
+
+        def try_place(g):
+            g2, px = _rand_pos_raw(g, rx, x, x + w)
+            g2, py = _rand_pos_raw(g2, ry, y, y + h)
+            return g2, px, py
+
+        def collides(px, py):
+            e = s.ents
+            overlap = (jnp.abs(px - e.x) < (rx + e.rx)) & (
+                jnp.abs(py - e.y) < (ry + e.ry)
+            )
+            overlap &= e.active
+            # has_agent_collision skips PLAYER-typed candidates (cpp:1135-1140)
+            agent_hit = jnp.where(
+                jnp.asarray(fields["type"], i32) == PLAYER, False, overlap[0]
+            )
+            if check_collisions:
+                return agent_hit | jnp.any(overlap & ~e.avoids_collisions)
+            return agent_hit
+
+        g = s.rand_gen
+        g, px, py = try_place(g)
+
+        def cond(carry):
+            g, px, py, cnt = carry
+            return collides(px, py) & (cnt < max_tries)
+
+        def body(carry):
+            g, px, py, cnt = carry
+            g, px2, py2 = try_place(g)
+            return (g, px2, py2, cnt + 1)
+
+        g, px, py, _ = jax.lax.while_loop(cond, body, (g, px, py, jnp.asarray(0, i32)))
+        fields = dict(fields)
+        fields["x"] = px
+        fields["y"] = py
+        return s.replace(rand_gen=g), fields
+
+    def spawn_entity_rxy(self, s, rx, ry, type_, x, y, w, h, check_collisions=True):
+        """cpp:520-528."""
+        fields = default_fields(0.0, 0.0, 0.0, 0.0, rx, ry, type_)
+        s, fields = self.reposition(s, fields, x, y, w, h, check_collisions)
+        return s.replace(ents=s.ents.push(fields))
+
+    def spawn_entity(self, s, r, type_, x, y, w, h, check_collisions=True):
+        return self.spawn_entity_rxy(s, r, r, type_, x, y, w, h, check_collisions)
+
+    def spawn_entities(self, s, n: int, r, type_, x, y, w, h):
+        for _ in range(n):
+            s = self.spawn_entity(s, r, type_, x, y, w, h)
+        return s
+
+    def add_entity(self, s, x, y, vx, vy, r, type_, **extra):
+        fields = default_fields(x, y, vx, vy, r, r, type_)
+        fields.update(extra)
+        return s.replace(ents=s.ents.push(fields))
+
+    def add_entity_rxy(self, s, x, y, vx, vy, rx, ry, type_, **extra):
+        fields = default_fields(x, y, vx, vy, rx, ry, type_)
+        fields.update(extra)
+        return s.replace(ents=s.ents.push(fields))
+
+    def spawn_entity_at_idx(self, s, idx, r, type_):
+        x = (idx % s.main_width).astype(f32) + 0.5
+        y = (idx // s.main_width).astype(f32) + 0.5
+        return self.add_entity(s, x, y, 0.0, 0.0, r, type_)
+
+    def game_reset_base(self, s: BasicState) -> BasicState:
+        """BasicAbstractGame::game_reset (cpp:767-806)."""
+        s = self.choose_world_dim(s)
+        s, bg_pct = self.rand01(s)
+        s = s.replace(
+            bg_pct_x=bg_pct,
+            grid=jnp.zeros((self.grid_cap,), i32),
+            mixrate=f32(self.mixrate),
+            maxspeed=f32(self.maxspeed),
+            max_jump=f32(self.max_jump),
+            visibility=f32(self.visibility),
+        )
+        s, bgi = self.randn(s, self.num_backgrounds())
+        s = s.replace(background_index=bgi)
+        if self.options.use_generated_assets or not self.background_names():
+            # use_procgen_background: AssetGen consumes rand_gen draws
+            # (cpp:778-782).  Draw-parity for generated assets lands with the
+            # assetgen module; the background itself is procedural on-device.
+            from ..render import assetgen
+
+            s = assetgen.consume_background_draws(self, s)
+
+        ents = Entities.zeros(self.ENT_CAP)
+        a_r = f32(0.4)
+        if self.random_agent_start:
+            s, r1 = self.rand01(s)
+            s, r2 = self.rand01(s)
+            ax = r1 * (s.main_width.astype(f32) - 2 * a_r) + a_r
+            ay = r2 * (s.main_height.astype(f32) - 2 * a_r) + a_r
+        else:
+            ax = a_r
+            ay = a_r
+        agent = default_fields(ax, ay, 0.0, 0.0, a_r, a_r, PLAYER)
+        agent["smart_step"] = True
+        agent["render_z"] = 1
+        ents = ents.push(agent)
+        s = s.replace(ents=ents)
+        s = self.fill_elem(s, 0, 0, s.main_width, s.main_height, SPACE)
+        return s
+
+    # ------------------------------------------------------------------
+    # misc queries used by games
+    # ------------------------------------------------------------------
+
+    def get_agent_index(self, s):
+        """int(agent.y) * main_width + int(agent.x) (cpp:176-178)."""
+        e = s.ents
+        return e.y[0].astype(i32) * s.main_width + e.x[0].astype(i32)
+
+    def cells_with_type_mask(self, s, type_):
+        idx = jnp.arange(self.grid_cap)
+        inb = idx < s.main_width * s.main_height
+        return inb & (s.grid == type_)
+
+
+def _entity_step_slot(e: Entities, i) -> Entities:
+    """Entity::step for a single slot (entity.cpp:57-82)."""
+    from .constants import EXPLOSION, EXPLOSION5
+
+    smart = e.smart_step[i]
+    x = jnp.where(smart, e.x[i], e.x[i] + e.vx[i])
+    y = jnp.where(smart, e.y[i], e.y[i] + e.vy[i])
+    life = e.life_time[i] + 1
+    will_erase = e.will_erase[i] | ((e.expire_time[i] > 0) & (life > e.expire_time[i]))
+    img = jnp.where(
+        (e.type[i] == EXPLOSION) & (e.image_type[i] < EXPLOSION5),
+        e.image_type[i] + 1,
+        e.image_type[i],
+    )
+    return e.set_fields(
+        i,
+        x=x,
+        y=y,
+        rotation=e.rotation[i] + e.vrot[i],
+        vx=e.vx[i] * e.friction[i],
+        vy=e.vy[i] * e.friction[i],
+        life_time=life,
+        will_erase=will_erase,
+        image_type=img,
+        rx=e.rx[i] * e.grow_rate[i],
+        ry=e.ry[i] * e.grow_rate[i],
+        alpha=e.alpha[i] * e.alpha_decay[i],
+    )
+
+
+def _rand_pos_raw(g: rng.MTState, r, lo, hi):
+    """rand_pos on a bare MTState (draws only when span > 2r)."""
+    need = (hi - lo) > 2 * r
+    g2, v = rng.rand01(g)
+    g2 = tree_where(need, g2, g)
+    pos = jnp.where(need, (hi - lo - 2 * r) * v + r + lo, (hi + lo) / 2)
+    return g2, pos
+

@@ -1,0 +1,171 @@
+"""Vectorized env runtime — the TPU-native replacement for VecGame.
+
+The reference drives N C++ game instances with a worker-thread pool and
+hands observations to Python through shared numpy buffers
+(vecgame.cpp:103-142,381-449).  Here the entire batch is one jitted XLA
+program: ``step = vmap(env_step) ∘ batched-auto-reset ∘ vmap(render)``, with
+the env axis optionally sharded over a device mesh (parallel/sharding.py).
+
+Auto-reset (the reference calls reset() inside step(), game.cpp:160-162) is
+the expensive part under vmap: level generation would run for *every* env
+every step.  Instead, finished envs are gathered into compact sub-batches of
+width K and reset in a data-dependent ``while_loop`` — zero iterations when
+nothing finished, one in steady state, ⌈N/K⌉ on the first frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lifecycle
+from ..core.constants import INT32_MAX, fnv1a_32
+from ..core.game import BasicAbstractGame
+from ..render.renderer import render_obs
+from ..utils.host_mt import HostMT19937
+
+i32 = jnp.int32
+
+
+def _tree_gather(tree, idx):
+    return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+
+def _tree_scatter(tree, idx, sub):
+    return jax.tree_util.tree_map(lambda a, b: a.at[idx].set(b), tree, sub)
+
+
+def _tree_select(mask, a, b):
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+def reset_pending(game: BasicAbstractGame, states, pending, k: int):
+    """Reset envs where ``pending``, K at a time, until none remain."""
+
+    def cond(carry):
+        _, pending = carry
+        return jnp.any(pending)
+
+    def body(carry):
+        states, pending = carry
+        idx = jnp.argsort(~pending, stable=True)[:k]
+        sel = pending[idx]
+        sub = _tree_gather(states, idx)
+        new_sub = jax.vmap(lambda s: lifecycle.env_reset(game, s))(sub)
+        sub = _tree_select(sel, new_sub, sub)
+        states = _tree_scatter(states, idx, sub)
+        pending = pending.at[idx].set(jnp.zeros_like(sel))
+        return states, pending
+
+    states, _ = jax.lax.while_loop(cond, body, (states, pending))
+    return states
+
+
+class JaxVecGame:
+    """N lockstep envs of one game as jitted device programs.
+
+    This is the L5 runtime layer (SURVEY §1); the user-facing gym3 API wraps
+    it in procgen_tpu/env.py.
+    """
+
+    def __init__(
+        self,
+        num: int,
+        game: BasicAbstractGame,
+        rand_seed: int,
+        num_levels: int = 0,
+        start_level: int = 0,
+        render_human: bool = False,
+        reset_batch: Optional[int] = None,
+    ):
+        self.num = num
+        self.game = game
+        self.render_human = render_human
+
+        # level seed range (vecgame.cpp:330-341)
+        if num_levels == 0:
+            game.level_seed_low, game.level_seed_high = 0, INT32_MAX
+        else:
+            game.level_seed_low = start_level
+            game.level_seed_high = start_level + num_levels
+
+        if game.fixed_asset_seed == 0:
+            game.fixed_asset_seed = int(
+                np.int32(np.uint32(fnv1a_32(game.name)))
+            )  # vecgame.cpp:369-375
+
+        # per-env level_seed_rand_gen seeds from the master stream
+        # (vecgame.cpp:349-363)
+        master = HostMT19937(rand_seed)
+        seeds = np.array([master.next_u32() for _ in range(num)], np.uint32)
+
+        self._k = reset_batch or max(1, min(num, max(8, num // 64)))
+
+        @jax.jit
+        def init_fn(seeds):
+            states = jax.vmap(lambda sd: lifecycle.initial_state(game, sd))(seeds)
+            states = jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
+            return states
+
+        @jax.jit
+        def observe_fn(states):
+            obs = jax.vmap(lambda s: render_obs(game, s, 64))(states)
+            info = self._info_impl(states)
+            return obs, states.reward, states.done, info
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(states, actions):
+            states, needs_reset = jax.vmap(
+                lambda s, a: lifecycle.env_step(game, s, a)
+            )(states, actions)
+            states = reset_pending(game, states, needs_reset, self._k)
+            return states
+
+        self._init_fn = init_fn
+        self._observe_fn = observe_fn
+        self._step_fn = step_fn
+
+        self.states = init_fn(jnp.asarray(seeds))
+
+    def _info_impl(self, states):
+        info = {
+            "prev_level_seed": states.prev_level_seed,
+            "prev_level_complete": states.level_complete.astype(jnp.uint8),
+            "level_seed": states.current_level_seed,
+        }
+        if hasattr(self.game, "latent_info"):
+            info.update(jax.vmap(self.game.latent_info)(states))
+        if self.render_human:
+            info["rgb"] = jax.vmap(
+                lambda s: render_obs(self.game, s, 512)
+            )(states)
+        return info
+
+    # -- runtime API --------------------------------------------------------
+
+    def act(self, actions) -> None:
+        actions = jnp.asarray(actions, i32)
+        assert actions.shape == (self.num,)
+        self.states = self._step_fn(self.states, actions)
+
+    def observe(self):
+        obs, rew, first, info = self._observe_fn(self.states)
+        return obs, rew, first, info
+
+    # -- checkpointing (get_state/set_state as pytrees) ---------------------
+
+    def get_state_pytree(self):
+        return jax.device_get(self.states)
+
+    def set_state_pytree(self, states) -> None:
+        self.states = jax.device_put(
+            states, jax.tree_util.tree_map(lambda a: a.sharding, self.states)
+        )

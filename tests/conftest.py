@@ -1,17 +1,22 @@
-"""Test configuration: force a virtual 8-device CPU mesh before JAX import.
+"""Test configuration: force a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; sharding tests run against
-8 virtual CPU devices (same XLA partitioner, same collectives).
+The image ships JAX_PLATFORMS=axon (TPU tunnel); tests must run on host CPU
+with 8 virtual devices for sharding coverage.  The axon plugin wins over the
+env var, so the platform is forced via jax.config after import.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,105 @@
+"""Functional env tests, mirroring reference procgen/env_test.py.
+
+- test_seeding (env_test.py:7-30): same start_level ⇒ identical first obs;
+  different level ⇒ different obs.
+- test_determinism (env_test.py:33-52): 128-step random rollout with fixed
+  rand_seed, run twice, bit-identical obs.
+Parametrised over every implemented game.
+"""
+
+import numpy as np
+import pytest
+
+from procgen_tpu import ProcgenGym3Env
+from procgen_tpu.games.registry import available_games
+
+GAMES = available_games()
+
+
+def rollout(env, steps, rng):
+    obs_list, rew_list, first_list = [], [], []
+    for _ in range(steps):
+        env.act(rng.randint(0, 15, size=env.num))
+        rew, obs, first = env.observe()
+        obs_list.append(obs["rgb"])
+        rew_list.append(rew)
+        first_list.append(first)
+    return (
+        np.stack(obs_list),
+        np.stack(rew_list),
+        np.stack(first_list),
+    )
+
+
+@pytest.mark.parametrize("env_name", GAMES)
+def test_seeding(env_name):
+    def make(start_level):
+        return ProcgenGym3Env(
+            num=1,
+            env_name=env_name,
+            num_levels=1,
+            start_level=start_level,
+            rand_seed=0,
+            use_monochrome_assets=True,
+            distribution_mode="easy",
+        )
+
+    _, obs1, _ = make(0).observe()
+    _, obs2, _ = make(0).observe()
+    _, obs3, _ = make(1).observe()
+
+    np.testing.assert_array_equal(obs1["rgb"], obs2["rgb"])
+    assert not np.array_equal(obs1["rgb"], obs3["rgb"])
+
+
+@pytest.mark.parametrize("env_name", GAMES)
+def test_determinism(env_name):
+    def collect():
+        env = ProcgenGym3Env(
+            num=2,
+            env_name=env_name,
+            rand_seed=23,
+            use_monochrome_assets=True,
+            distribution_mode="easy",
+        )
+        rng = np.random.RandomState(0)
+        return rollout(env, 128, rng)
+
+    obs1, rew1, first1 = collect()
+    obs2, rew2, first2 = collect()
+    np.testing.assert_array_equal(obs1, obs2)
+    np.testing.assert_array_equal(rew1, rew2)
+    np.testing.assert_array_equal(first1, first2)
+
+
+@pytest.mark.parametrize("env_name", GAMES)
+def test_episode_progression(env_name):
+    """Episodes end (timeout at minimum) and auto-reset starts a new level."""
+    env = ProcgenGym3Env(
+        num=4,
+        env_name=env_name,
+        rand_seed=7,
+        use_monochrome_assets=True,
+        distribution_mode="easy",
+    )
+    rng = np.random.RandomState(1)
+    _, _, firsts = rollout(env, 600, rng)
+    # every env must have restarted at least once within timeout+100 steps
+    assert firsts[1:].any(axis=0).all(), "no env ever finished an episode"
+
+
+def test_info_latent_state_maze():
+    env = ProcgenGym3Env(
+        num=2, env_name="maze", rand_seed=11, distribution_mode="easy",
+        use_monochrome_assets=True,
+    )
+    info = env.get_info()[0]
+    for key in ("grid_size", "grid", "agent_pos", "exit_pos", "level_seed"):
+        assert key in info
+    w, h = info["grid_size"]
+    assert w == 15 and h == 15
+    grid = info["grid"][: w * h].reshape(h, w)
+    ax, ay = info["agent_pos"]
+    assert grid[ay, ax] != 51  # agent stands on a free cell
+    ex, ey = info["exit_pos"]
+    assert grid[ey, ex] == 2  # GOAL
