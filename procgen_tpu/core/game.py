@@ -67,7 +67,7 @@ class BasicState:
     total_reward: jax.Array
     reset_count: jax.Array
     # BasicAbstractGame (basic-abstract-game.h:121-168)
-    grid: jax.Array  # i32[Gmax], flat with stride main_width
+    grid: jax.Array  # i32[Hmax, Wmax]; live region is [:main_height, :main_width]
     main_width: jax.Array
     main_height: jax.Array
     ents: Entities
@@ -84,6 +84,11 @@ class BasicState:
     action_vrot: jax.Array
     step_rand_int: jax.Array
     visibility: jax.Array
+    # decorative entities (trails, explosions): rendered + aged but excluded
+    # from all collision logic.  The reference keeps them in the same vector;
+    # splitting the pool keeps interactive-entity scans small (TPU-first) at
+    # the cost of intra-z-level paint order among decoratives (documented).
+    decor: Entities = None
     # per-game extension pytree
     game: Any = None
 
@@ -107,6 +112,10 @@ class BasicAbstractGame:
     ENTITY_SCAN: bool = False  # sub_step scans entities (block/reflect pairs exist)
     PUSH_DEPTH: int = 5  # push-chain recursion cap (C++ depth limit, :265)
     ONLY_AGENT_SMART: bool = True  # only slot 0 has smart_step
+    SMART_VECTORIZABLE: bool = True  # non-agent smart entities don't read each
+    # other's positions (no entity-entity block/reflect among them) — their
+    # sub-stepped moves commute and run vmapped instead of sequentially
+    DECOR_CAP: int = 0  # capacity of the decorative pool
     ANY_COLLIDES_WITH_ENTITIES: bool = False  # O(E^2) dispatch needed
     SEQUENTIAL_AGENT_HANDLERS: bool = False  # agent-collision handlers must run in
     # reverse entity order (order-sensitive side effects); else vectorised-safe
@@ -171,14 +180,15 @@ class BasicAbstractGame:
         """Initial value of the per-game extension pytree."""
         return None
 
-    def is_blocked(self, s, slot, target_type, is_horizontal):
+    def is_blocked(self, s, src_type, target_type, is_horizontal):
         """basic-abstract-game.cpp:494-501."""
         blocked = target_type == WALL_OBJ
         blocked |= target_type == self.out_of_bounds_object
         return blocked
 
-    def is_blocked_ents(self, s, slot, other, is_horizontal):
-        return self.is_blocked(s, slot, s.ents.type[other], is_horizontal)
+    def is_blocked_ents(self, s, rec, other, is_horizontal):
+        """rec: the moving entity's record; other: target slot index."""
+        return self.is_blocked(s, rec["type"], s.ents.type[other], is_horizontal)
 
     def will_reflect(self, src_type, target_type):
         return jnp.asarray(False)
@@ -238,9 +248,89 @@ class BasicAbstractGame:
         """cpp:446-448 (traced)."""
         return jnp.abs(type_)
 
-    def theme_for_grid_obj(self, type_):
+    # -- asset metadata (static per type; cpp:79-123) -----------------------
+
+    RESERVED_ASSETS = {
+        54: ["misc_assets/explosion1.png"],
+        55: ["misc_assets/explosion2.png"],
+        56: ["misc_assets/explosion3.png"],
+        57: ["misc_assets/explosion4.png"],
+        58: ["misc_assets/explosion5.png"],
+        59: ["misc_assets/iconCircle_white.png"],
+    }
+
+    def asset_names(self, type_: int) -> list[str]:
+        if self.options.use_generated_assets:
+            return []
+        names = self.asset_for_type(type_)
+        if not names:
+            names = self.RESERVED_ASSETS.get(type_, [])
+        return names
+
+    def num_themes(self, type_: int) -> int:
+        """asset_num_themes[type] (cpp:109-119); generated assets have 1."""
+        names = self.asset_names(type_)
+        return len(names) if names else 1
+
+    def aspect_ratios(self, type_: int) -> jax.Array:
+        """Per-theme aspect ratio table for a (static) type."""
+        from ..render.assets import aspect_for
+
+        names = self.asset_names(type_)
+        if not names:
+            return jnp.ones((1,), f32)
+        return jnp.asarray([aspect_for(n) for n in names], f32)
+
+    def choose_random_theme(self, s: BasicState, slot, type_: int):
+        """cpp:1047-1050 — one randn draw on the reset stream."""
+        s, th = self.randn(s, self.num_themes(type_))
+        return s.replace(ents=s.ents.set_fields(slot, image_theme=th))
+
+    def choose_random_theme_d(self, s: BasicState, d, slot, type_: int):
+        """choose_random_theme on the step-path Draws cursor."""
+        d, th = d.randn(self.num_themes(type_))
+        return s.replace(ents=s.ents.set_fields(slot, image_theme=th)), d
+
+    def choose_step_random_theme_value(self, s: BasicState, type_: int):
+        """cpp:1052-1055 — step_rand_int % num_themes (no draw)."""
+        return s.step_rand_int % self.num_themes(type_)
+
+    def match_aspect_ratio(self, s: BasicState, slot, type_: int,
+                           match_width: bool = True):
+        """cpp:1023-1032; theme is the entity's current image_theme."""
+        ar = self.aspect_ratios(type_)[
+            jnp.clip(s.ents.image_theme[slot], 0, self.num_themes(type_) - 1)
+        ]
+        e = s.ents
+        if match_width:
+            return s.replace(ents=e.set_fields(slot, ry=e.rx[slot] / ar))
+        return s.replace(ents=e.set_fields(slot, rx=e.ry[slot] * ar))
+
+    def fit_aspect_ratio(self, s: BasicState, slot, type_: int):
+        """cpp:1034-1045."""
+        ar = self.aspect_ratios(type_)[
+            jnp.clip(s.ents.image_theme[slot], 0, self.num_themes(type_) - 1)
+        ]
+        e = s.ents
+        ry = jnp.where(ar > 1, e.rx[slot] / ar, e.ry[slot])
+        rx = jnp.where(ar > 1, e.rx[slot], e.ry[slot] * ar)
+        return s.replace(ents=e.set_fields(slot, rx=rx, ry=ry))
+
+    def theme_for_grid_obj(self, s, type_):
         """cpp:450-452 (traced)."""
         return jnp.zeros_like(jnp.asarray(type_, i32))
+
+    def grid_cell_colors(self, s, gtype, u, v):
+        """Per-pixel grid coloring: (valid, r, g, b) given cell type and
+        within-cell fractional coords (draw_grid_obj override point,
+        e.g. chaser's small orbs, chaser.cpp:111-117)."""
+        from .constants import INVALID_OBJ
+
+        theme = self.theme_for_grid_obj(s, gtype)
+        img = self.image_for_type(s, gtype)
+        valid = (gtype != INVALID_OBJ) & (img >= 0) & (img != SPACE)
+        r, g, b = self.color_for_type(img, theme)
+        return valid, r, g, b
 
     def color_for_type(self, type_, theme):
         """Flat color per (type, theme).
@@ -269,22 +359,30 @@ class BasicAbstractGame:
         x = jnp.asarray(x, i32)
         y = jnp.asarray(y, i32)
         inb = (x >= 0) & (x < s.main_width) & (y >= 0) & (y < s.main_height)
-        idx = jnp.clip(y * s.main_width + x, 0, self.grid_cap - 1)
-        return jnp.where(inb, s.grid[idx], self.out_of_bounds_object)
+        xc = jnp.clip(x, 0, self.WORLD_DIM_MAX[0] - 1)
+        yc = jnp.clip(y, 0, self.WORLD_DIM_MAX[1] - 1)
+        return jnp.where(inb, s.grid[yc, xc], self.out_of_bounds_object)
 
     def get_obj_idx(self, s: BasicState, idx):
+        """Flat-index read; flat semantics use dynamic stride main_width
+        (grid.h:40-44)."""
         idx = jnp.asarray(idx, i32)
         inb = (idx >= 0) & (idx < s.main_width * s.main_height)
+        mw = jnp.maximum(s.main_width, 1)
         return jnp.where(
-            inb, s.grid[jnp.clip(idx, 0, self.grid_cap - 1)], self.out_of_bounds_object
+            inb, self.get_obj(s, idx % mw, idx // mw), self.out_of_bounds_object
         )
 
     def set_obj(self, s: BasicState, x, y, v) -> BasicState:
-        idx = jnp.asarray(y, i32) * s.main_width + jnp.asarray(x, i32)
-        return s.replace(grid=s.grid.at[idx].set(jnp.asarray(v, i32)))
+        return s.replace(
+            grid=s.grid.at[jnp.asarray(y, i32), jnp.asarray(x, i32)].set(
+                jnp.asarray(v, i32)
+            )
+        )
 
     def set_obj_idx(self, s: BasicState, idx, v) -> BasicState:
-        return s.replace(grid=s.grid.at[idx].set(jnp.asarray(v, i32)))
+        mw = jnp.maximum(s.main_width, 1)
+        return self.set_obj(s, idx % mw, idx // mw, v)
 
     def get_obj_from_floats(self, s: BasicState, fx, fy):
         """basic-abstract-game.cpp:167-174."""
@@ -297,15 +395,12 @@ class BasicAbstractGame:
         """Static-extent rectangle fill (basic-abstract-game.cpp:125-131).
 
         dx/dy may be traced; computed as a scatter-free masked select over the
-        static grid buffer (stride = dynamic main_width).
+        static [Hmax, Wmax] buffer.
         """
-        g = jnp.arange(self.grid_cap)
-        gx = g % s.main_width
-        gy = g // s.main_width
-        m = (
-            (gx >= x) & (gx < x + dx) & (gy >= y) & (gy < y + dy)
-            & (g < s.main_width * s.main_height)
-        )
+        gx = jnp.arange(self.WORLD_DIM_MAX[0])[None, :]
+        gy = jnp.arange(self.WORLD_DIM_MAX[1])[:, None]
+        m = (gx >= x) & (gx < x + dx) & (gy >= y) & (gy < y + dy)
+        m &= (gx < s.main_width) & (gy < s.main_height)
         return s.replace(grid=jnp.where(m, jnp.asarray(elem, i32), s.grid))
 
     # ------------------------------------------------------------------
@@ -346,247 +441,280 @@ class BasicAbstractGame:
     # movement: sub_step / push_obj / basic_step_object (cpp:248-380,602-665)
     # ------------------------------------------------------------------
 
-    def _sub_step(self, s: BasicState, slot, vx, vy, depth: int):
-        """One axis-aligned micro-move of ``slot``.  Returns (s, blocked).
+    # The movement core operates on per-entity *records* (dicts of scalars:
+    # x, y, vx, vy, rx, ry, type, will_erase) so the same traced code serves
+    # two execution styles:
+    #   * the agent: sequential, with the entity scan able to mutate both
+    #     the record and global state (push chains, is_on_crate-style flags);
+    #   * non-agent smart entities: vmapped in one shot when
+    #     SMART_VECTORIZABLE (they read only the grid + own record).
 
-        ``depth`` is a Python int — the push-chain recursion is unrolled at
-        trace time up to PUSH_DEPTH, mirroring the C++ depth cap (cpp:263-267).
+    @staticmethod
+    def _rec_of(e: Entities, slot) -> dict:
+        return {
+            "x": e.x[slot], "y": e.y[slot], "vx": e.vx[slot], "vy": e.vy[slot],
+            "rx": e.rx[slot], "ry": e.ry[slot], "type": e.type[slot],
+            "will_erase": e.will_erase[slot],
+        }
+
+    def _sub_step_rec(self, s, rec, vx, vy, depth: int, is_agent: bool):
+        """One axis-aligned micro-move (cpp:278-380).  Returns (s, rec, blocked).
+
+        ``depth`` is a Python int — push recursion unrolls at trace time up
+        to PUSH_DEPTH (C++ cap, cpp:263-267).
         """
-        e = s.ents
-        skip = e.will_erase[slot]
-        ny = e.y[slot] + vy
-        nx = e.x[slot] + vx
+        skip = rec["will_erase"]
+        nx = rec["x"] + vx
+        ny = rec["y"] + vy
         margin = f32(0.98)
-        is_horizontal_t = vx != 0  # traced, used for relation hooks
+        horiz = vx != 0
 
-        # 2x2 corner probes against the grid
         block = jnp.asarray(False)
         reflect = jnp.asarray(False)
         for ci in (0, 1):
             for cj in (0, 1):
-                px = nx + e.rx[slot] * margin * (2 * ci - 1)
-                py = ny + e.ry[slot] * margin * (2 * cj - 1)
+                px = nx + rec["rx"] * margin * (2 * ci - 1)
+                py = ny + rec["ry"] * margin * (2 * cj - 1)
                 t2 = self.get_obj_from_floats(s, px, py)
-                block |= self.is_blocked(s, slot, t2, is_horizontal_t)
-                reflect |= self.will_reflect(e.type[slot], t2)
+                block |= self.is_blocked(s, rec["type"], t2, horiz)
+                reflect |= self.will_reflect(rec["type"], t2)
 
-        # reflect / block position resolution (cpp:300-338)
-        rx_ = e.rx[slot]
-        ry_ = e.ry[slot]
-        # horizontal case
+        rx_, ry_ = rec["rx"], rec["ry"]
         dx_ref = jnp.where(
             vx < 0, jnp.ceil(nx - rx_) - (nx - rx_), jnp.floor(nx + rx_) - (nx + rx_)
         )
-        nx_ref = nx + 2 * dx_ref
         dy_ref = jnp.where(
             vy < 0, jnp.ceil(ny - ry_) - (ny - ry_), jnp.floor(ny + ry_) - (ny + ry_)
         )
+        nx_ref = nx + 2 * dx_ref
         ny_ref = ny + 2 * dy_ref
         if self.grid_step:
-            nx_blk = e.x[slot]
-            ny_blk = e.y[slot]
+            nx_blk, ny_blk = rec["x"], rec["y"]
         else:
             nx_blk = jnp.where(vx > 0, jnp.floor(nx + rx_) - rx_, jnp.ceil(nx - rx_) + rx_)
             ny_blk = jnp.where(vy > 0, jnp.floor(ny + ry_) - ry_, jnp.ceil(ny - ry_) + ry_)
 
-        horiz = is_horizontal_t
-        new_x = jnp.where(
+        new = dict(rec)
+        new["x"] = jnp.where(
             reflect, jnp.where(horiz, nx_ref, nx), jnp.where(block & horiz, nx_blk, nx)
         )
-        new_y = jnp.where(
+        new["y"] = jnp.where(
             reflect, jnp.where(horiz, ny, ny_ref), jnp.where(block & ~horiz, ny_blk, ny)
         )
-        new_vx = jnp.where(reflect & horiz, -e.vx[slot], e.vx[slot])
-        new_vy = jnp.where(reflect & ~horiz, -e.vy[slot], e.vy[slot])
-
-        s = s.replace(
-            ents=s.ents.set_fields_where(
-                slot, ~skip, x=new_x, y=new_y, vx=new_vx, vy=new_vy
-            )
-        )
+        new["vx"] = jnp.where(reflect & horiz, -rec["vx"], rec["vx"])
+        new["vy"] = jnp.where(reflect & ~horiz, -rec["vy"], rec["vy"])
+        rec = tree_where(skip, rec, new)
 
         block2 = jnp.asarray(False)
-        if self.ENTITY_SCAN:
-            s, block2 = self._sub_step_entity_scan(s, slot, vx, vy, depth)
+        if is_agent and self.ENTITY_SCAN:
+            s, rec, block2 = self._entity_scan(s, rec, vx, vy, depth)
 
         blocked = jnp.where(skip, False, block | block2)
-        return s, blocked
+        return s, rec, blocked
 
-    def _sub_step_entity_scan(self, s: BasicState, slot, vx, vy, depth: int):
+    def _entity_scan(self, s, rec, vx, vy, depth: int):
         """Reverse scan over entities: blocking pushes + reflections
-        (cpp:343-379).  Sequential by necessity — each push mutates ``slot``'s
-        position which the next comparison observes."""
+        (cpp:343-379).  Sequential default; games override with vectorised
+        equivalents when the interaction structure allows (e.g. coinrun's
+        crate landing).  Only reached for the agent (slot 0)."""
         horiz = vx != 0
         cap = self.ENT_CAP
 
         def body(carry, j):
-            s, block2 = carry
+            s, rec, block2 = carry
             i = cap - 1 - j  # reverse order
             e = s.ents
-            valid = (i < e.count) & (i != slot) & ~e.will_erase[i]
-            coll = self.has_collision(s, slot, i, POS_EPS) & ~e.will_erase[slot]
-            coll &= valid
-            blocked_e = self.is_blocked_ents(s, slot, i, horiz)
-            refl = self.will_reflect(e.type[slot], e.type[i])
-
-            # reflection branch (no blocking): positional bounce (cpp:357-369)
-            do_refl = coll & ~blocked_e & refl
-            delx = e.x[i] - e.x[slot]
-            dely = e.y[i] - e.y[slot]
-            rsumx = e.rx[i] + e.rx[slot]
-            rsumy = e.ry[i] + e.ry[slot]
-            bx = e.x[slot] + jnp.where(vx > 0, -2 * (rsumx - delx), 2 * (rsumx + delx))
-            by = e.y[slot] + jnp.where(vy > 0, -2 * (rsumy - dely), 2 * (rsumy + dely))
-            nvx = jnp.where(do_refl & horiz, -e.vx[slot], e.vx[slot])
-            nvy = jnp.where(do_refl & ~horiz, -e.vy[slot], e.vy[slot])
-            nx = jnp.where(do_refl & horiz, bx, e.x[slot])
-            ny = jnp.where(do_refl & ~horiz, by, e.y[slot])
-            s = s.replace(
-                ents=s.ents.set_fields(slot, x=nx, y=ny, vx=nvx, vy=nvy)
+            valid = (i < e.count) & (i != 0) & ~e.will_erase[i]
+            tx = rec["rx"] + e.rx[i] + POS_EPS
+            ty = rec["ry"] + e.ry[i] + POS_EPS
+            coll = (jnp.abs(rec["x"] - e.x[i]) < tx) & (
+                jnp.abs(rec["y"] - e.y[i]) < ty
             )
+            coll &= valid & ~rec["will_erase"]
+            blocked_e = self.is_blocked_ents(s, rec, i, horiz)
+            refl = self.will_reflect(rec["type"], e.type[i])
+
+            # reflection branch (cpp:357-369)
+            do_refl = coll & ~blocked_e & refl
+            delx = e.x[i] - rec["x"]
+            dely = e.y[i] - rec["y"]
+            rsumx = e.rx[i] + rec["rx"]
+            rsumy = e.ry[i] + rec["ry"]
+            bx = rec["x"] + jnp.where(vx > 0, -2 * (rsumx - delx), 2 * (rsumx + delx))
+            by = rec["y"] + jnp.where(vy > 0, -2 * (rsumy - dely), 2 * (rsumy + dely))
+            new = dict(rec)
+            new["x"] = jnp.where(do_refl & horiz, bx, rec["x"])
+            new["y"] = jnp.where(do_refl & ~horiz, by, rec["y"])
+            new["vx"] = jnp.where(do_refl & horiz, -rec["vx"], rec["vx"])
+            new["vy"] = jnp.where(do_refl & ~horiz, -rec["vy"], rec["vy"])
+            rec = new
 
             # blocking branch: push chain (cpp:371-373)
             curr_block = coll & blocked_e
-            s = self._push_obj(s, i, slot, vx, vy, depth, do=curr_block)
-            return (s, block2 | curr_block), None
+            s, rec = self._push_obj(s, i, rec, vx, vy, depth, do=curr_block)
+            return (s, rec, block2 | curr_block), None
 
-        (s, block2), _ = jax.lax.scan(body, (s, jnp.asarray(False)), jnp.arange(cap))
-        return s, block2
+        (s, rec, block2), _ = jax.lax.scan(
+            body, (s, rec, jnp.asarray(False)), jnp.arange(cap)
+        )
+        return s, rec, block2
 
-    def _push_obj(self, s: BasicState, src, target, vx, vy, depth: int, do):
-        """push_obj(src, target) (cpp:248-276), masked by ``do``.
-
-        Displaces ``target`` flush against ``src`` via a recursive sub_step,
-        then zeroes the pushed axis velocity.
-        """
+    def _push_obj(self, s, src, rec, vx, vy, depth: int, do):
+        """push_obj(src, target=rec) (cpp:248-276), masked by ``do``:
+        displace the mover flush against slot ``src`` via recursive sub_step,
+        then zero the pushed axis velocity."""
         e = s.ents
         horiz = vx != 0
 
         def sign(v):
             return jnp.where(v > 0, 1.0, jnp.where(v < 0, -1.0, 0.0))
 
-        rsum = jnp.where(horiz, e.rx[src] + e.rx[target], e.ry[src] + e.ry[target])
-        delx = e.x[target] - e.x[src]
-        dely = e.y[target] - e.y[src]
-        t_vx = jnp.where(horiz, e.x[src] + sign(delx) * rsum - e.x[target], 0.0)
-        t_vy = jnp.where(horiz, 0.0, e.y[src] + sign(dely) * rsum - e.y[target])
+        rsum = jnp.where(horiz, e.rx[src] + rec["rx"], e.ry[src] + rec["ry"])
+        delx = rec["x"] - e.x[src]
+        dely = rec["y"] - e.y[src]
+        t_vx = jnp.where(horiz, e.x[src] + sign(delx) * rsum - rec["x"], 0.0)
+        t_vy = jnp.where(horiz, 0.0, e.y[src] + sign(dely) * rsum - rec["y"])
 
         if depth < self.PUSH_DEPTH:
-            pushed, _blk = self._sub_step(s, target, t_vx, t_vy, depth + 1)
-            s = tree_where(do, pushed, s)
+            s2, rec2, _blk = self._sub_step_rec(s, rec, t_vx, t_vy, depth + 1, True)
+            s = tree_where(do, s2, s)
+            rec = tree_where(do, rec2, rec)
 
-        e = s.ents
-        nvx = jnp.where(do & horiz, 0.0, e.vx[target])
-        nvy = jnp.where(do & ~horiz, 0.0, e.vy[target])
-        return s.replace(ents=e.set_fields(target, vx=nvx, vy=nvy))
+        rec = dict(rec)
+        rec["vx"] = jnp.where(do & horiz, 0.0, rec["vx"])
+        rec["vy"] = jnp.where(do & ~horiz, 0.0, rec["vy"])
+        return s, rec
 
-    def basic_step_object(self, s: BasicState, slot):
-        """Sub-stepped movement of one smart entity (cpp:602-665)."""
-        e = s.ents
-        skip = e.will_erase[slot]
+    def _basic_step_rec(self, s, rec, is_agent: bool):
+        """basic_step_object on a record (cpp:602-665)."""
+        skip = rec["will_erase"]
 
         if self.grid_step:
             num_sub = jnp.asarray(1, i32)
             max_sub = 1
         else:
-            speed = jnp.sqrt(e.vx[slot] ** 2 + e.vy[slot] ** 2)
+            speed = jnp.sqrt(rec["vx"] ** 2 + rec["vy"] ** 2)
             num_sub = jnp.maximum(4, (4 * speed).astype(i32))
             max_sub = self.MAX_SUB_STEPS
         pct = f32(1.0) / num_sub.astype(f32)
 
-        cmp = jnp.abs(e.vx[slot]) - jnp.abs(e.vy[slot])
+        cmp = jnp.abs(rec["vx"]) - jnp.abs(rec["vy"])
         step_x_first = jnp.where(cmp == 0, s.step_rand_int % 2 == 0, cmp > 0)
-        is_player = e.type[slot] == PLAYER
-        step_x_first = jnp.where(is_player & (s.action_vx != 0), True, step_x_first)
-        step_x_first = jnp.where(is_player & (s.action_vy != 0), False, step_x_first)
+        is_player_t = rec["type"] == PLAYER
+        step_x_first = jnp.where(
+            is_player_t & (s.action_vx != 0), True, step_x_first
+        )
+        step_x_first = jnp.where(
+            is_player_t & (s.action_vy != 0), False, step_x_first
+        )
 
         def one_sub(carry, si):
-            s, vx_pct, vy_pct, broken = carry
+            s, rec, vx_pct, vy_pct, broken = carry
             live = (si < num_sub) & ~broken
 
-            def axis_step(s, horiz):
-                v = jnp.where(horiz, s.ents.vx[slot] * pct, s.ents.vy[slot] * pct)
-                vx_ = jnp.where(horiz, v, 0.0)
-                vy_ = jnp.where(horiz, 0.0, v)
-                # C++ dispatches on _vx != 0; a zero-velocity axis call still
-                # runs with is_horizontal=False semantics — mirrored here
-                # because vx_=0 ⇒ horiz flag False in _sub_step.
-                return self._sub_step(s, slot, vx_, vy_, 0)
+            def axis(s, rec, horiz_axis):
+                # C++ derives is_horizontal from _vx != 0, so a zero-velocity
+                # x-axis call behaves as vertical — mirrored since vx_=0
+                v = jnp.where(horiz_axis, rec["vx"] * pct, rec["vy"] * pct)
+                vx_ = jnp.where(horiz_axis, v, 0.0)
+                vy_ = jnp.where(horiz_axis, 0.0, v)
+                return self._sub_step_rec(s, rec, vx_, vy_, 0, is_agent)
 
-            def do_xy(s):
-                s1, bx = axis_step(s, jnp.asarray(True))
-                s2, by = axis_step(s1, jnp.asarray(False))
-                return s2, bx, by
+            sx, rx1, bxx = axis(s, rec, jnp.asarray(True))
+            sx, rx2, byx = axis(sx, rx1, jnp.asarray(False))
+            sy, ry1, byy = axis(s, rec, jnp.asarray(False))
+            sy, ry2, bxy = axis(sy, ry1, jnp.asarray(True))
 
-            def do_yx(s):
-                s1, by = axis_step(s, jnp.asarray(False))
-                s2, bx = axis_step(s1, jnp.asarray(True))
-                return s2, bx, by
-
-            sx, bxx, byx = do_xy(s)
-            sy, bxy, byy = do_yx(s)
             s2 = tree_where(step_x_first, sx, sy)
+            rec2 = tree_where(step_x_first, rx2, ry2)
             bx = jnp.where(step_x_first, bxx, bxy)
             by = jnp.where(step_x_first, byx, byy)
 
             s = tree_where(live, s2, s)
+            rec = tree_where(live, rec2, rec)
             vx_pct += jnp.where(live & ~bx, 1.0, 0.0)
             vy_pct += jnp.where(live & ~by, 1.0, 0.0)
             broken |= live & bx & by
-            return (s, vx_pct, vy_pct, broken), None
+            return (s, rec, vx_pct, vy_pct, broken), None
 
-        (s, vx_pct, vy_pct, _), _ = jax.lax.scan(
+        (s, rec, vx_pct, vy_pct, _), _ = jax.lax.scan(
             one_sub,
-            (s, f32(0.0), f32(0.0), jnp.asarray(False)),
+            (s, rec, f32(0.0), f32(0.0), jnp.asarray(False)),
             jnp.arange(max_sub),
         )
-        vx_pct = vx_pct / num_sub.astype(f32)
-        vy_pct = vy_pct / num_sub.astype(f32)
-        e = s.ents
-        s = s.replace(
-            ents=e.set_fields_where(
-                slot, ~skip, vx=e.vx[slot] * vx_pct, vy=e.vy[slot] * vy_pct
+        rec = dict(rec)
+        rec["vx"] = rec["vx"] * (vx_pct / num_sub.astype(f32))
+        rec["vy"] = rec["vy"] * (vy_pct / num_sub.astype(f32))
+        # C++ early-returns on will_erase; callers re-select the original
+        # record under `skip`, and `skip` suppresses all scan side effects.
+        del skip
+        return s, rec
+
+    def basic_step_object_agent(self, s: BasicState) -> BasicState:
+        """Move the agent (slot 0) with full sequential semantics."""
+        rec0 = self._rec_of(s.ents, 0)
+        s, rec = self._basic_step_rec(s, rec0, is_agent=True)
+        skip = rec0["will_erase"]
+        rec = tree_where(skip, rec0, rec)
+        return s.replace(
+            ents=s.ents.set_fields(
+                0, x=rec["x"], y=rec["y"], vx=rec["vx"], vy=rec["vy"]
             )
         )
-        return s
+
+    def step_smart_entities_vectorized(self, s: BasicState) -> BasicState:
+        """Move all non-agent smart entities in one vmap (SMART_VECTORIZABLE:
+        they read only the grid + own record, so the C++ reverse-sequential
+        order commutes)."""
+        e = s.ents
+        slots = jnp.arange(self.ENT_CAP)
+
+        def move_one(slot):
+            rec = self._rec_of(e, slot)
+            _, rec2 = self._basic_step_rec(s, rec, is_agent=False)
+            return rec2
+
+        recs = jax.vmap(move_one)(slots)
+        do = e.active & e.smart_step & (slots != 0) & ~e.will_erase
+        upd = {}
+        for k in ("x", "y", "vx", "vy"):
+            upd[k] = jnp.where(do, recs[k], getattr(e, k))
+        return s.replace(ents=e.replace(**upd))
 
     # ------------------------------------------------------------------
     # per-step pipeline (cpp:695-755)
     # ------------------------------------------------------------------
 
     def step_entities(self, s: BasicState):
-        """cpp:1095-1107: reverse order, move smart entities then Entity::step."""
-        if self.ONLY_AGENT_SMART:
-            # Non-agent entities only run Entity::step (order-independent);
-            # the agent (slot 0) moves last, exactly as the reverse loop does.
-            agent_backup = jax.tree_util.tree_map(
-                lambda a: a[0] if a.ndim > 0 else a, s.ents
-            )
-            ents = s.ents.step_all()
-            # undo slot-0 step; agent handled below in correct order
-            restore = {
-                k: getattr(ents, k).at[0].set(getattr(agent_backup, k))
-                for k in ents.__dataclass_fields__
-                if k != "count"
-            }
-            s = s.replace(ents=ents.replace(**restore))
-            s = self.basic_step_object(s, 0)
-            s = s.replace(ents=_entity_step_slot(s.ents, 0))
-            return s
+        """cpp:1095-1107: reverse order — smart moves then Entity::step.
 
-        cap = self.ENT_CAP
+        Non-agent entities first (vector), agent last, exactly as the C++
+        reverse loop orders slot 0.
+        """
+        if not self.ONLY_AGENT_SMART:
+            if not self.SMART_VECTORIZABLE:
+                raise NotImplementedError(
+                    "sequential multi-smart stepping not enabled for "
+                    f"{self.name}; set SMART_VECTORIZABLE or add an override"
+                )
+            s = self.step_smart_entities_vectorized(s)
 
-        def body(s, j):
-            i = cap - 1 - j
-            live = i < s.ents.count
-            do_smart = live & s.ents.smart_step[i]
-            moved = self.basic_step_object(s, i)
-            s = tree_where(do_smart, moved, s)
-            stepped = _entity_step_slot(s.ents, i)
-            s = s.replace(ents=tree_where(live, stepped, s.ents))
-            return s, None
-
-        s, _ = jax.lax.scan(body, s, jnp.arange(cap))
+        # Entity::step for all non-agent slots (order-independent)
+        agent_backup = jax.tree_util.tree_map(
+            lambda a: a[0] if a.ndim > 0 else a, s.ents
+        )
+        ents = s.ents.step_all()
+        restore = {
+            k: getattr(ents, k).at[0].set(getattr(agent_backup, k))
+            for k in ents.__dataclass_fields__
+            if k != "count"
+        }
+        s = s.replace(ents=ents.replace(**restore))
+        if self.DECOR_CAP:
+            s = s.replace(decor=s.decor.step_all())
+        # agent: move then step, last (slot 0 in the reverse loop)
+        s = self.basic_step_object_agent(s)
+        s = s.replace(ents=_entity_step_slot(s.ents, 0))
         return s
 
     def check_grid_collisions(self, s: BasicState, d, slot):
@@ -654,11 +782,26 @@ class BasicAbstractGame:
         return s, d
 
     def erase_if_needed(self, s: BasicState) -> BasicState:
-        """cpp:757-765."""
+        """cpp:757-765 (interactive + decorative pools)."""
         e = s.ents
         oob = self.is_out_of_bounds_mask(s)
         keep = ~(e.will_erase | (e.auto_erase & oob))
-        return s.replace(ents=e.compact(keep))
+        s = s.replace(ents=e.compact(keep))
+        if self.DECOR_CAP:
+            d = s.decor
+            w = s.main_width.astype(f32)
+            h = s.main_height.astype(f32)
+            oob_d = (
+                (d.x + d.rx < 0) | (d.y + d.ry < 0)
+                | (d.x - d.rx > w) | (d.y - d.ry > h)
+            )
+            s = s.replace(decor=d.compact(~(d.will_erase | (d.auto_erase & oob_d))))
+        return s
+
+    def add_decor(self, s: BasicState, fields: dict, do=True) -> BasicState:
+        """Push a decorative entity (trail/explosion)."""
+        assert self.DECOR_CAP > 0, f"{self.name} has no decor pool"
+        return s.replace(decor=s.decor.push(fields, do=do))
 
     def game_step_base(self, s: BasicState, d: rng.Draws):
         """BasicAbstractGame::game_step head + movement + dispatch
@@ -806,7 +949,7 @@ class BasicAbstractGame:
         s, bg_pct = self.rand01(s)
         s = s.replace(
             bg_pct_x=bg_pct,
-            grid=jnp.zeros((self.grid_cap,), i32),
+            grid=jnp.zeros((self.WORLD_DIM_MAX[1], self.WORLD_DIM_MAX[0]), i32),
             mixrate=f32(self.mixrate),
             maxspeed=f32(self.maxspeed),
             max_jump=f32(self.max_jump),
@@ -823,6 +966,8 @@ class BasicAbstractGame:
             s = assetgen.consume_background_draws(self, s)
 
         ents = Entities.zeros(self.ENT_CAP)
+        if self.DECOR_CAP:
+            s = s.replace(decor=Entities.zeros(self.DECOR_CAP))
         a_r = f32(0.4)
         if self.random_agent_start:
             s, r1 = self.rand01(s)
@@ -850,8 +995,10 @@ class BasicAbstractGame:
         return e.y[0].astype(i32) * s.main_width + e.x[0].astype(i32)
 
     def cells_with_type_mask(self, s, type_):
-        idx = jnp.arange(self.grid_cap)
-        inb = idx < s.main_width * s.main_height
+        """[Hmax, Wmax] bool mask of in-bounds cells with the given type."""
+        gx = jnp.arange(self.WORLD_DIM_MAX[0])[None, :]
+        gy = jnp.arange(self.WORLD_DIM_MAX[1])[:, None]
+        inb = (gx < s.main_width) & (gy < s.main_height)
         return inb & (s.grid == type_)
 
 

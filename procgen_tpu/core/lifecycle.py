@@ -42,7 +42,7 @@ def initial_state(game: BasicAbstractGame, lsrg_seed) -> BasicState:
         last_reward=jnp.asarray(-1.0, f32),
         total_reward=zf,
         reset_count=z32,
-        grid=jnp.zeros((game.grid_cap,), i32),
+        grid=jnp.zeros((game.WORLD_DIM_MAX[1], game.WORLD_DIM_MAX[0]), i32),
         main_width=jnp.asarray(game.WORLD_DIM_MAX[0], i32),
         main_height=jnp.asarray(game.WORLD_DIM_MAX[1], i32),
         ents=Entities.zeros(game.ENT_CAP),
@@ -59,6 +59,7 @@ def initial_state(game: BasicAbstractGame, lsrg_seed) -> BasicState:
         action_vrot=zf,
         step_rand_int=z32,
         visibility=jnp.asarray(game.visibility, f32),
+        decor=Entities.zeros(game.DECOR_CAP) if game.DECOR_CAP else None,
         game=game.game_init_state(),
     )
 

@@ -196,6 +196,32 @@ class Draws:
         d, f = self.rand01()
         return d, _randrange_from(f, low, high)
 
+    # masked draws: consume a word only when ``cond`` (for short-circuited
+    # C++ draw sites); the value is only meaningful when ``cond``.
+
+    def take_u32_if(self, cond):
+        y = jax.lax.dynamic_index_in_dim(self.block, self.cursor, keepdims=False)
+        return (
+            self.replace(cursor=self.cursor + jnp.asarray(cond).astype(i32)),
+            y,
+        )
+
+    def randn_if(self, cond, high):
+        d, x = self.take_u32_if(cond)
+        return d, _randn_from(x, high)
+
+    def randint_if(self, cond, low, high):
+        d, x = self.take_u32_if(cond)
+        return d, _randint_from(x, low, high)
+
+    def rand01_if(self, cond):
+        d, x = self.take_u32_if(cond)
+        return d, _rand01_from(x)
+
+    def randbool_if(self, cond):
+        d, f = self.rand01_if(cond)
+        return d, f > 0.5
+
 
 def peek_block(state: MTState, k: int) -> Draws:
     """Materialise the next ``k`` tempered outputs without consuming them.

@@ -121,9 +121,8 @@ class Maze(BasicAbstractGame):
         # world grid: maze block at `margin` offset, WALL elsewhere
         # (maze.cpp:84-106)
         array_dim = maze_dim + 2
-        gidx = jnp.arange(self.grid_cap)
-        gx = gidx % wd
-        gy = gidx // wd
+        gx = jnp.arange(wd)[None, :]
+        gy = jnp.arange(wd)[:, None]
         mi = gx - margin
         mj = gy - margin
         inside = (mi >= 0) & (mi < maze_dim) & (mj >= 0) & (mj < maze_dim)
@@ -168,13 +167,12 @@ class Maze(BasicAbstractGame):
             [s.ents.x[0].astype(i32), s.ents.y[0].astype(i32)]
         )
         goal_mask = self.cells_with_type_mask(s, GOAL)
-        goal_idx = jnp.argmax(goal_mask)
-        exit_pos = jnp.stack(
-            [goal_idx % s.main_width, goal_idx // s.main_width]
-        ).astype(i32)
+        goal_idx = jnp.argmax(goal_mask.reshape(-1))
+        wmax = self.WORLD_DIM_MAX[0]
+        exit_pos = jnp.stack([goal_idx % wmax, goal_idx // wmax]).astype(i32)
         return {
             "grid_size": jnp.stack([s.main_width, s.main_height]),
-            "grid": s.grid,
+            "grid": s.grid.reshape(-1),
             "agent_pos": agent_pos,
             "exit_pos": exit_pos,
         }

@@ -127,6 +127,54 @@ def generate_maze(g: rng.MTState, maze_dim, mdim_max: int):
     return g, grid, free_cells, num_free, in_free
 
 
+def generate_maze_no_dead_ends(g: rng.MTState, maze_dim, mdim_max: int):
+    """mazegen.cpp:190-211: open a random wall at every dead end, in
+    ascending cell order (later cells see earlier fixes)."""
+    g, grid, free_cells, num_free, in_free = generate_maze(g, maze_dim, mdim_max)
+    adim_max = mdim_max + 2
+    array_dim = maze_dim + 2
+
+    # neighbor order matches get_neighbors (mazegen.cpp:50-69)
+    offs = ((-1, 0), (0, -1), (0, 1), (1, 0))
+
+    def body(i, carry):
+        g, grid = carry
+        x = i % array_dim
+        y = i // array_dim
+        interior = (x > 0) & (x < array_dim - 1) & (y > 0) & (y < array_dim - 1)
+        obj = jnp.where(interior, grid[jnp.clip(i, 0, grid.shape[0] - 1)], -1)
+
+        n_idx = []
+        n_obj = []
+        for dx, dy in offs:
+            nx = x + dx
+            ny = y + dy
+            ni = jnp.clip(ny * array_dim + nx, 0, grid.shape[0] - 1)
+            n_interior = (
+                (nx > 0) & (nx < array_dim - 1) & (ny > 0) & (ny < array_dim - 1)
+            )
+            n_idx.append(ni)
+            n_obj.append(jnp.where(n_interior, grid[ni], -1))
+        n_idx = jnp.stack(n_idx)
+        n_obj = jnp.stack(n_obj)
+
+        n_space = jnp.sum(n_obj == SPACE)
+        wall_mask = n_obj == WALL_OBJ
+        n_wall = jnp.sum(wall_mask)
+        fix = (obj == SPACE) & (n_space == 1) & (n_wall > 0) & (i < array_dim * array_dim)
+
+        g2, r = rng.randn(g, jnp.maximum(n_wall, 1))
+        g = tree_where(fix, g2, g)
+        ranks = jnp.cumsum(wall_mask.astype(jnp.int32)) - 1
+        sel = jnp.argmax(wall_mask & (ranks == r))
+        tgt = n_idx[sel]
+        grid = grid.at[tgt].set(jnp.where(fix, SPACE, grid[tgt]))
+        return (g, grid)
+
+    g, grid = jax.lax.fori_loop(0, adim_max * adim_max, body, (g, grid))
+    return g, grid, free_cells, num_free, in_free
+
+
 def place_objects(g, grid, free_cells, num_free, maze_dim, mdim_max: int,
                   start_obj: int, num_objs: int):
     """mazegen.cpp:292-306 — scatter objects on distinct carved cells,

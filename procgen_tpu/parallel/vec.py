@@ -16,11 +16,23 @@ nothing finished, one in steady state, ⌈N/K⌉ on the first frame.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:  # persistent XLA compile cache: big programs, reused across runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "PROCGEN_TPU_XLA_CACHE", "/root/.cache/procgen_tpu_xla"
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from ..core import lifecycle
 from ..core.constants import INT32_MAX, fnv1a_32

@@ -116,6 +116,55 @@ CAVES = [
 ]
 
 
+import os
+import struct as _struct
+
+_ASSET_ROOT_CANDIDATES = [
+    os.environ.get("PROCGEN_TPU_ASSET_ROOT", ""),
+    "/root/reference/procgen/data/assets",
+    os.path.join(os.path.dirname(__file__), "..", "data", "assets"),
+]
+
+
+def asset_root():
+    for cand in _ASSET_ROOT_CANDIDATES:
+        if cand and os.path.isdir(cand):
+            return cand
+    return None
+
+
+_png_size_cache: dict = {}
+
+
+def png_size(rel_path):
+    """(width, height) from the PNG IHDR header, or None if unavailable."""
+    if rel_path in _png_size_cache:
+        return _png_size_cache[rel_path]
+    root = asset_root()
+    size = None
+    if root is not None:
+        p = os.path.join(root, rel_path)
+        try:
+            with open(p, "rb") as f:
+                head = f.read(24)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h = _struct.unpack(">II", head[16:24])
+                size = (w, h)
+        except OSError:
+            size = None
+    _png_size_cache[rel_path] = size
+    return size
+
+
+def aspect_for(rel_path) -> float:
+    """width/height of the sprite (basic-abstract-game.cpp:114); 1.0 when
+    assets are absent (matches the generated-asset path's square sprites)."""
+    size = png_size(rel_path)
+    if size is None:
+        return 1.0
+    return size[0] / size[1]
+
+
 def monochrome_color(type_, theme):
     """color_for_type in use_monochrome_assets mode
     (basic-abstract-game.cpp:464-490).  Works on traced int arrays; returns

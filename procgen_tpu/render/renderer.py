@@ -1,15 +1,20 @@
-"""Flat-shaded observation renderer (single env; vmapped by the vec runtime).
+"""Observation renderer (single env; vmapped by the vec runtime).
 
 Re-designs the QPainter pipeline (basic-abstract-game.cpp:828-1021) as a
-per-pixel gather: every output pixel computes its world coordinate from the
-camera transform and composites background → z=-1 entities → grid cells →
-z=0 → z=1 entities → HUD velocity squares, exactly in the reference's paint
-order (painter's algorithm == later select wins).
+per-pixel compositor in the reference's paint order: background → z=-1
+entities → grid cells → z=0 → z=1 entities → HUD velocity squares.
+
+TPU-first choices:
+  * The grid pass avoids per-pixel gathers (which lower to slow serialized
+    gathers on TPU) by sampling the [Hmax, Wmax] grid with two one-hot
+    matmuls — row-select @ grid @ col-select — which XLA maps onto the MXU.
+  * The entity passes accumulate a per-pixel *winner slot* (later slot wins,
+    matching painter order within a z level) with separable row/col interval
+    masks, then resolve winner → color with one tiny one-hot matmul.
 
 This module implements the colored-rect paths (use_monochrome_assets and
 types >= USE_ASSET_THRESHOLD, cpp:886-928).  Sprite-atlas sampling plugs in
-on top (render/atlas.py) without changing the structure: the per-pixel cover
-test turns into a texel fetch.
+on top (render/atlas.py) by replacing the color resolution step.
 """
 
 from __future__ import annotations
@@ -28,6 +33,21 @@ u8 = jnp.uint8
 def to_shade(f):
     """qt-utils.h:21-28."""
     return jnp.clip((f * 255).astype(i32), 0, 255)
+
+
+def _onehot_sample_grid(grid, celly, cellx, hmax, wmax, oob_val):
+    """out[p, q] = grid[celly[p], cellx[q]] via one-hot matmuls (MXU).
+
+    Out-of-range cells read as ``oob_val``.
+    """
+    rows = (celly[:, None] == jnp.arange(hmax)[None, :]).astype(f32)  # [res, H]
+    cols = (cellx[:, None] == jnp.arange(wmax)[None, :]).astype(f32)  # [res, W]
+    gf = grid.astype(f32)
+    sampled = rows @ gf @ cols.T  # [res, res]
+    inb = ((celly >= 0) & (celly < hmax))[:, None] & (
+        (cellx >= 0) & (cellx < wmax)
+    )[None, :]
+    return jnp.where(inb, sampled.astype(i32), oob_val)
 
 
 def render_obs(game, s, res: int = 64):
@@ -50,100 +70,105 @@ def render_obs(game, s, res: int = 64):
 
     sx = jnp.arange(res, dtype=f32) + 0.5  # pixel centers, screen coords
     sy = jnp.arange(res, dtype=f32) + 0.5
-    wx = (sx[None, :] + x_off) / unit  # [res(y), res(x)] world x
-    wy = vis - (sy[:, None] - y_off) / unit  # world y (up-positive)
-    wx = jnp.broadcast_to(wx, (res, res))
-    wy = jnp.broadcast_to(wy, (res, res))
+    wxs = (sx + x_off) / unit  # [res] world x per pixel column
+    wys = vis - (sy - y_off) / unit  # [res] world y per pixel row
 
-    obs = jnp.zeros((res, res, 3), u8)  # black fill (cpp:989)
+    obs = jnp.zeros((res, res, 3), i32)  # black fill (cpp:989)
 
     draw_mask = game.should_draw_entity_mask(s)
 
-    def paint_entities(obs, zlevel):
-        def body(i, obs):
-            e = s.ents
-            live = (i < e.count) & (e.render_z[i] == zlevel) & draw_mask[i]
-            img = game.image_for_type(s, e.image_type[i])
-            live &= (img >= 0) & (img != SPACE)
+    def paint_pool(obs, pool, zlevel, mask):
+        """Composite one pool at one z level: winner-slot then color."""
+        cap = pool.cap
+        e = pool
+        img_all = game.image_for_type(s, e.image_type)
+        live_all = e.active & (e.render_z == zlevel) & (img_all >= 0) & (
+            img_all != SPACE
+        )
+        if mask is not None:
+            live_all &= mask
 
-            def abs_cover():
-                # get_abs_rect path (cpp:820-825): screen units
-                px = sx[None, :]
-                py = sy[:, None]
-                x0 = res * (e.x[i] - e.rx[i])
-                y0 = res * (e.y[i] + e.ry[i])
-                return (
-                    (px >= x0)
-                    & (px < x0 + 2 * res * e.rx[i])
-                    & (py >= y0)
-                    & (py < y0 + 2 * res * e.ry[i])
-                )
+        def body(i, winner):
+            # separable cover: world-coords or abs-coords rect
+            xcov_w = jnp.abs(wxs - e.x[i]) < e.rx[i]
+            ycov_w = jnp.abs(wys - e.y[i]) < e.ry[i]
+            x0 = res * (e.x[i] - e.rx[i])
+            y0 = res * (e.y[i] + e.ry[i])
+            xcov_a = (sx >= x0) & (sx < x0 + 2 * res * e.rx[i])
+            ycov_a = (sy >= y0) & (sy < y0 + 2 * res * e.ry[i])
+            xcov = jnp.where(e.use_abs_coords[i], xcov_a, xcov_w)
+            ycov = jnp.where(e.use_abs_coords[i], ycov_a, ycov_w)
+            cover = ycov[:, None] & xcov[None, :] & live_all[i]
+            return jnp.where(cover, i, winner)
 
-            def world_cover():
-                return (jnp.abs(wx - e.x[i]) < e.rx[i]) & (
-                    jnp.abs(wy - e.y[i]) < e.ry[i]
-                )
+        winner = jax.lax.fori_loop(0, cap, body, jnp.full((res, res), -1, i32))
 
-            cover = jnp.where(e.use_abs_coords[i], abs_cover(), world_cover())
-            r, g_, b = game.color_for_type(img, e.image_theme[i])
-            col = jnp.stack(
-                [jnp.asarray(r, u8), jnp.asarray(g_, u8), jnp.asarray(b, u8)]
-            )
-            return jnp.where((cover & live)[:, :, None], col[None, None, :], obs)
+        # resolve winner -> color with a one-hot matmul over slots
+        r, g_, b = game.color_for_type(img_all, e.image_theme)
+        colors = jnp.stack(
+            [jnp.asarray(r, f32), jnp.asarray(g_, f32), jnp.asarray(b, f32)],
+            axis=-1,
+        )
+        colors = jnp.broadcast_to(colors, (cap, 3))
+        onehot = (
+            winner.reshape(-1)[:, None] == jnp.arange(cap)[None, :]
+        ).astype(f32)
+        col = (onehot @ colors).reshape(res, res, 3).astype(i32)
+        return jnp.where((winner >= 0)[:, :, None], col, obs)
 
-        return jax.lax.fori_loop(0, game.ENT_CAP, body, obs)
+    def paint_z(obs, zlevel):
+        obs = paint_pool(obs, s.ents, zlevel, draw_mask)
+        if game.DECOR_CAP:
+            obs = paint_pool(obs, s.decor, zlevel, None)
+        return obs
 
     # entities below the grid
-    obs = paint_entities(obs, -1)
+    obs = paint_z(obs, -1)
 
     # grid pass (cpp:950-964)
-    cellx = jnp.floor(wx).astype(i32)
-    celly = jnp.floor(wy).astype(i32)
-    if game.center_agent:
-        # the C++ loop covers center ± (vis/2 + 1), a superset of all visible
-        # cells; out-of-world reads return out_of_bounds_object
-        gtype = _get_obj_grid(game, s, cellx, celly)
-    else:
-        inb = (
-            (cellx >= 0)
-            & (cellx < s.main_width)
-            & (celly >= 0)
-            & (celly < s.main_height)
-        )
-        gtype = jnp.where(inb, _get_obj_grid(game, s, cellx, celly), INVALID_OBJ)
-
-    theme = game.theme_for_grid_obj(gtype)
-    gimg = game.image_for_type(s, gtype)
-    gvalid = (gtype != INVALID_OBJ) & (gimg >= 0) & (gimg != SPACE)
-    r, g_, b = game.color_for_type(gimg, theme)
-    gcol = jnp.stack(
-        [jnp.asarray(r, u8), jnp.asarray(g_, u8), jnp.asarray(b, u8)], axis=-1
+    cellx = jnp.floor(wxs).astype(i32)
+    celly = jnp.floor(wys).astype(i32)
+    wmax, hmax = game.WORLD_DIM_MAX
+    raw = _onehot_sample_grid(s.grid, celly, cellx, hmax, wmax, INVALID_OBJ)
+    inb = (
+        ((celly >= 0) & (celly < s.main_height))[:, None]
+        & ((cellx >= 0) & (cellx < s.main_width))[None, :]
     )
-    gcol = jnp.broadcast_to(gcol, (res, res, 3))
+    if game.center_agent:
+        # C++ draws cells in center ± (vis/2 + 1) incl. out-of-world reads,
+        # which return out_of_bounds_object (cpp:937-948, 180-185)
+        gtype = jnp.where(inb, raw, game.out_of_bounds_object)
+    else:
+        gtype = jnp.where(inb, raw, INVALID_OBJ)
+
+    u = wxs[None, :] - jnp.floor(wxs)[None, :]  # within-cell fraction
+    v = wys[:, None] - jnp.floor(wys)[:, None]
+    u = jnp.broadcast_to(u, (res, res))
+    v = jnp.broadcast_to(v, (res, res))
+    gvalid, r, g_, b = game.grid_cell_colors(s, gtype, u, v)
+    gcol = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(r, i32), (res, res)),
+            jnp.broadcast_to(jnp.asarray(g_, i32), (res, res)),
+            jnp.broadcast_to(jnp.asarray(b, i32), (res, res)),
+        ],
+        axis=-1,
+    )
     obs = jnp.where(gvalid[:, :, None], gcol, obs)
 
     # entities above the grid
-    obs = paint_entities(obs, 0)
-    obs = paint_entities(obs, 1)
+    obs = paint_z(obs, 0)
+    obs = paint_z(obs, 1)
 
     # paint_vel_info (cpp:969-978)
     if game.options.paint_vel_info and game.has_useful_vel_info:
         infodim = res * 0.2
-        s1 = to_shade(0.5 * s.ents.vx[0] / s.maxspeed + 0.5).astype(u8)
-        s2 = to_shade(0.5 * s.ents.vy[0] / s.max_jump + 0.5).astype(u8)
-        px = sx[None, :]
-        py = sy[:, None]
-        in_y = py < infodim
-        r1 = (px < infodim) & in_y
-        r2 = (px >= infodim) & (px < 2 * infodim) & in_y
+        s1 = to_shade(0.5 * s.ents.vx[0] / s.maxspeed + 0.5)
+        s2 = to_shade(0.5 * s.ents.vy[0] / s.max_jump + 0.5)
+        in_y = (sy < infodim)[:, None]
+        r1 = in_y & (sx < infodim)[None, :]
+        r2 = in_y & ((sx >= infodim) & (sx < 2 * infodim))[None, :]
         obs = jnp.where(r1[:, :, None], s1, obs)
         obs = jnp.where(r2[:, :, None], s2, obs)
 
-    return obs
-
-
-def _get_obj_grid(game, s, x, y):
-    """Vectorised bounds-checked grid read over pixel cell arrays."""
-    inb = (x >= 0) & (x < s.main_width) & (y >= 0) & (y < s.main_height)
-    idx = jnp.clip(y * s.main_width + x, 0, game.grid_cap - 1)
-    return jnp.where(inb, s.grid[idx], game.out_of_bounds_object)
+    return obs.astype(u8)
