@@ -117,6 +117,13 @@ class BasicAbstractGame:
     # sub-stepped moves commute and run vmapped instead of sequentially
     DECOR_CAP: int = 0  # capacity of the decorative pool
     ANY_COLLIDES_WITH_ENTITIES: bool = False  # O(E^2) dispatch needed
+    DISPATCH_VECTORIZED: bool = False  # all collision handlers commute: use
+    # the phased vectorised dispatch (handle_agent_collision_vec + optional
+    # dispatch_entity_pairs + agent-only grid probe) instead of the exact
+    # reverse-order scan
+    GRID_HANDLER_AGENT_ONLY: bool = True  # handle_grid_collision only acts
+    # on the PLAYER (true for every reference game: "Right now obj is always
+    # the agent", cpp:394-399)
     SEQUENTIAL_AGENT_HANDLERS: bool = False  # agent-collision handlers must run in
     # reverse entity order (order-sensitive side effects); else vectorised-safe
     # games may still get the sequential scan (default) — this flag reserved.
@@ -233,6 +240,13 @@ class BasicAbstractGame:
     def choose_center(self, s: BasicState):
         return s.ents.x[0], s.ents.y[0]
 
+    def camera(self, s: BasicState):
+        """(cx, cy, visibility) when center_agent (prepare_for_drawing,
+        cpp:828-847); games like climber/fruitbot override with scrolling
+        cameras that also change visibility."""
+        cx, cy = self.choose_center(s)
+        return cx, cy, s.visibility
+
     def should_draw_entity_mask(self, s: BasicState):
         """Vectorised should_draw_entity; default draws everything."""
         return jnp.ones((self.ENT_CAP,), bool)
@@ -319,6 +333,12 @@ class BasicAbstractGame:
     def theme_for_grid_obj(self, s, type_):
         """cpp:450-452 (traced)."""
         return jnp.zeros_like(jnp.asarray(type_, i32))
+
+    def render_overlay(self, s, obs, sx, sy, res, unit, vis):
+        """Post-pass HUD overlays (game_draw additions after the base pipeline,
+        e.g. ninja's jump-charge bar, jumper's compass).  sx/sy are pixel
+        centers in screen coords; unit = res/visibility."""
+        return obs
 
     def grid_cell_colors(self, s, gtype, u, v):
         """Per-pixel grid coloring: (valid, r, g, b) given cell type and
@@ -739,8 +759,38 @@ class BasicAbstractGame:
                 d = tree_where(hit, d2, d)
         return s, d
 
+    def handle_agent_collision_vec(self, s, d, hit):
+        """Vectorised agent-collision handler: ``hit`` is the [cap] mask of
+        entities overlapping the agent.  Games with commuting handler
+        effects override this (DISPATCH_VECTORIZED)."""
+        return s, d
+
+    def dispatch_entity_pairs(self, s, d):
+        """Entity-entity collision dispatch for DISPATCH_VECTORIZED games
+        with ANY_COLLIDES_WITH_ENTITIES; override per game."""
+        return s, d
+
     def dispatch_collisions(self, s: BasicState, d):
-        """cpp:728-750: reverse scan dispatching agent / entity / grid hits."""
+        """cpp:728-750: agent / entity-pair / grid collision dispatch.
+
+        Exact reverse-order interleaved scan by default; games whose handler
+        effects commute opt into the phased vectorised path."""
+        if self.DISPATCH_VECTORIZED:
+            hit = self.has_agent_collision_mask(s)
+            s, d = self.handle_agent_collision_vec(s, d, hit)
+            if self.ANY_COLLIDES_WITH_ENTITIES:
+                s, d = self.dispatch_entity_pairs(s, d)
+            if (
+                type(self).handle_grid_collision
+                is not BasicAbstractGame.handle_grid_collision
+            ):
+                assert self.GRID_HANDLER_AGENT_ONLY
+                s2, d2 = self.check_grid_collisions(s, d, 0)
+                do = s.ents.smart_step[0] & (s.ents.count > 0)
+                s = tree_where(do, s2, s)
+                d = tree_where(do, d2, d)
+            return s, d
+
         cap = self.ENT_CAP
 
         def body(carry, j):

@@ -76,6 +76,7 @@ class Coinrun(BasicAbstractGame):
     MAX_STEP_DRAWS = 8
     MAX_SUB_STEPS = 8  # |v| <= sqrt(.5^2+1.5^2)=1.58 -> 6 sub-steps
     ENTITY_SCAN = True  # crate landing (vectorised override below)
+    DISPATCH_VECTORIZED = True  # handlers commute (death + goal/lava)
     ONLY_AGENT_SMART = False  # patrol enemies are smart_step
     SMART_VECTORIZABLE = True  # enemies only reflect off grid cells
 
@@ -247,9 +248,11 @@ class Coinrun(BasicAbstractGame):
 
     # -- collision handlers -------------------------------------------------
 
-    def handle_agent_collision(self, s, d, i):
-        t = s.ents.type[i]
-        return s.replace(done=s.done | (t == ENEMY) | (t == SAW)), d
+    def handle_agent_collision_vec(self, s, d, hit):
+        # coinrun.cpp:129-137
+        e = s.ents
+        deadly = jnp.any(hit & ((e.type == ENEMY) | (e.type == SAW)))
+        return s.replace(done=s.done | deadly), d
 
     def handle_grid_collision(self, s, d, slot, type_, ix, iy):
         is_player = s.ents.type[slot] == PLAYER

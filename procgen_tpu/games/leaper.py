@@ -62,6 +62,7 @@ class LeaperState:
 class Leaper(BasicAbstractGame):
     name = "leaper"
     ENT_CAP = 80
+    DISPATCH_VECTORIZED = True  # handlers commute (car death, finish bonus)
     MAX_STEP_DRAWS = 32  # step_rand_int + 2 draws x 12 lanes worst case
     MAX_SUB_STEPS = 4  # |v| <= 0.5
 
@@ -145,12 +146,14 @@ class Leaper(BasicAbstractGame):
         d = jnp.asarray(self.world_dim, i32)
         return s.replace(main_width=d, main_height=d)
 
-    def handle_agent_collision(self, s, d, i):
+    def handle_agent_collision_vec(self, s, d, hit):
+        # leaper.cpp:79-87
         e = s.ents
-        t = e.type[i]
-        car = t == CAR
+        car = jnp.any(hit & (e.type == CAR))
         finish = (
-            (t == FINISH_LINE) & (e.vx[0] == 0) & (e.vy[0] == 0)
+            jnp.any(hit & (e.type == FINISH_LINE))
+            & (e.vx[0] == 0)
+            & (e.vy[0] == 0)
         )
         return s.replace(
             done=s.done | car | finish,

@@ -40,6 +40,7 @@ class MazeGameState:
 class Maze(BasicAbstractGame):
     name = "maze"
     ENT_CAP = 2
+    DISPATCH_VECTORIZED = True  # no collision handlers
     MAX_STEP_DRAWS = 8
     MAX_SUB_STEPS = 1  # grid_step
 

@@ -70,6 +70,7 @@ class MinerState:
 class Miner(BasicAbstractGame):
     name = "miner"
     ENT_CAP = 2  # agent + exit
+    DISPATCH_VECTORIZED = True  # handlers commute (exit bonus, enemy death)
     MAX_STEP_DRAWS = 4
     MAX_SUB_STEPS = 1  # grid_step
 
@@ -148,11 +149,15 @@ class Miner(BasicAbstractGame):
         s = super().set_action_xy(s, move_action)
         return s.replace(action_vy=jnp.where(s.action_vx != 0, 0.0, s.action_vy))
 
-    def handle_agent_collision(self, s, d, i):
-        t = s.ents.type[i]
-        exit_done = (t == EXIT) & (s.game.diamonds_remaining == 0)
+    def handle_agent_collision_vec(self, s, d, hit):
+        # miner.cpp:84-95
+        e = s.ents
+        enemy = jnp.any(hit & (e.type == ENEMY))
+        exit_done = jnp.any(hit & (e.type == EXIT)) & (
+            s.game.diamonds_remaining == 0
+        )
         return s.replace(
-            done=s.done | (t == ENEMY) | exit_done,
+            done=s.done | enemy | exit_done,
             reward=s.reward + jnp.where(exit_done, f32(COMPLETION_BONUS), 0.0),
             level_complete=s.level_complete | exit_done,
         ), d

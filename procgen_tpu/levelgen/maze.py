@@ -175,6 +175,182 @@ def generate_maze_no_dead_ends(g: rng.MTState, maze_dim, mdim_max: int):
     return g, grid, free_cells, num_free, in_free
 
 
+def _expand_to_type(grid, s0, s1, target_type, interior, space, array_dim,
+                    do):
+    """mazegen.cpp:72-101: BFS from s0 over SPACE, accumulating s1, stopping
+    at the first frontier cell (ascending order) with a target-type
+    neighbor; returns (s1, found_idx or -1).
+
+    The C++ early-return mid-iteration means frontier cells after the hit do
+    NOT contribute neighbors — reproduced via the prefix mask.
+    """
+    import jax.numpy as jnp
+
+    A = s0.shape[0]
+    idxs = jnp.arange(A)
+    tmask = (grid == target_type) & interior
+
+    def rolls(m):
+        return (
+            jnp.roll(m, 1),
+            jnp.roll(m, array_dim),
+            jnp.roll(m, -array_dim),
+            jnp.roll(m, -1),
+        )  # neighbor order: left (i-1), up (i-adim), down (i+adim), right
+
+    t_l, t_u, t_d, t_r = rolls(tmask)
+    has_t = t_l | t_u | t_d | t_r
+
+    def cond(carry):
+        _, _, _, _, stop = carry
+        return ~stop
+
+    def body(carry):
+        curr, s0_, s1, found, stop = carry
+        hit = curr & has_t
+        any_hit = jnp.any(hit)
+        first = jnp.argmax(hit)
+        processed = jnp.where(any_hit, curr & (idxs <= first), curr)
+        # dilation: cells adjacent to a processed cell
+        dil = (
+            jnp.roll(processed, -1)
+            | jnp.roll(processed, -array_dim)
+            | jnp.roll(processed, array_dim)
+            | jnp.roll(processed, 1)
+        )
+        newly = dil & space & ~s0_ & ~s1
+        s1 = s1 | newly
+        # found = first target neighbor of `first`, in adjacency order
+        nb = jnp.stack(
+            [first - 1, first - array_dim, first + array_dim, first + 1]
+        )
+        nb_c = jnp.clip(nb, 0, A - 1)
+        nb_t = tmask[nb_c]
+        sel = jnp.argmax(nb_t)
+        found = jnp.where(any_hit & (found < 0), nb_c[sel], found)
+        curr = newly
+        stop = any_hit | ~jnp.any(newly)
+        return (curr, s0_, s1, found, stop)
+
+    curr0 = s0
+    stop0 = ~jnp.asarray(do, bool)
+    _, _, s1, found, _ = jax.lax.while_loop(
+        cond, body, (curr0, s0, s1, jnp.asarray(-1, jnp.int32), stop0)
+    )
+    return s1, found
+
+
+def generate_maze_with_doors(g: rng.MTState, maze_dim, mdim_max: int,
+                             num_doors):
+    """mazegen.cpp:213-290: doors at forks, BFS-expanding reachable regions,
+    one key per door, exit last.  Returns (g, grid, actual_num_doors)."""
+    from ..core.constants import AGENT_OBJ, DOOR_OBJ, EXIT_OBJ, KEY_OBJ
+
+    g, grid, _, _, _ = generate_maze(g, maze_dim, mdim_max)
+    adim_max = mdim_max + 2
+    array_dim = maze_dim + 2
+    A = adim_max * adim_max
+    idxs = jnp.arange(A)
+    x = idxs % array_dim
+    y = idxs // array_dim
+    interior = (
+        (x > 0) & (x < array_dim - 1) & (y > 0) & (y < array_dim - 1)
+        & (idxs < array_dim * array_dim)
+    )
+
+    def nb_count(m):
+        return (
+            jnp.roll(m, 1).astype(i32)
+            + jnp.roll(m, -1).astype(i32)
+            + jnp.roll(m, array_dim).astype(i32)
+            + jnp.roll(m, -array_dim).astype(i32)
+        )
+
+    space = (grid == SPACE) & interior
+    forks = space & (nb_count(space) > 2)
+    fsize = jnp.sum(forks).astype(i32)
+
+    # choose_n(forks, num_doors) (randgen.cpp:49-68): when the pool is
+    # smaller than n, everything is taken without draws
+    take_all = num_doors > fsize
+    alive = forks
+    chosen = jnp.zeros_like(forks)
+    for j in range(3):
+        do = ~take_all & (j < num_doors)
+        cnt = jnp.sum(alive).astype(i32)
+        g2, r = rng.randn(g, jnp.maximum(cnt, 1))
+        g = tree_where(do, g2, g)
+        ranks = jnp.cumsum(alive.astype(i32)) - 1
+        pick = jnp.argmax(alive & (ranks == r))
+        chosen = chosen.at[pick].set(chosen[pick] | do)
+        alive = alive.at[pick].set(alive[pick] & ~do)
+    chosen = jnp.where(take_all, forks, chosen)
+    actual_doors = jnp.where(take_all, fsize, num_doors)
+    grid = jnp.where(chosen, DOOR_OBJ, grid)
+
+    # agent cell: random SPACE cell not adjacent to a door (cpp:245-258)
+    space2 = (grid == SPACE) & interior
+    cnt2 = jnp.maximum(jnp.sum(space2).astype(i32), 1)
+    ranks2 = jnp.cumsum(space2.astype(i32)) - 1
+    door_mask = (grid == DOOR_OBJ) & interior
+    door_adj = nb_count(door_mask) > 0
+
+    def draw_cell(g):
+        g, r = rng.randn(g, cnt2)
+        return g, jnp.argmax(space2 & (ranks2 == r))
+
+    g, cell = draw_cell(g)
+
+    def cond(c):
+        return door_adj[c[1]]
+
+    def body(c):
+        return draw_cell(c[0])
+
+    g, agent_cell = jax.lax.while_loop(cond, body, (g, cell))
+    grid = grid.at[agent_cell].set(AGENT_OBJ)
+
+    # per-door expansion: recolor the found door, place its key; exit last
+    s0 = jnp.zeros((A,), bool).at[agent_cell].set(True)
+    for door_num in range(4):  # num_doors <= 3, +1 exit round
+        it_on = door_num < actual_doors + 1
+        do_door = door_num < actual_doors
+        space_cur = (grid == SPACE) & interior
+        s1 = jnp.zeros((A,), bool)
+        s1, found = _expand_to_type(
+            grid, s0, s1, DOOR_OBJ, interior, space_cur, array_dim, do_door
+        )
+        ok_found = do_door & (found >= 0)
+        grid = grid.at[jnp.maximum(found, 0)].set(
+            jnp.where(ok_found, DOOR_OBJ + door_num + 1,
+                      grid[jnp.maximum(found, 0)])
+        )
+        s0 = s0 | (s1 & do_door)
+
+        space_cur = (grid == SPACE) & interior
+        s1, _ = _expand_to_type(
+            grid, s0, s1, -999, interior, space_cur, array_dim, it_on
+        )
+
+        cnt1 = jnp.maximum(jnp.sum(s1).astype(i32), 1)
+        g2, r1 = rng.randn(g, cnt1)
+        g = tree_where(it_on, g2, g)
+        ranks1 = jnp.cumsum(s1.astype(i32)) - 1
+        key_cell = jnp.argmax(s1 & (ranks1 == r1))
+        val = jnp.where(
+            door_num == actual_doors, EXIT_OBJ, KEY_OBJ + door_num + 1
+        )
+        grid = grid.at[key_cell].set(
+            jnp.where(it_on, val, grid[key_cell])
+        )
+        s0 = s0 | (s1 & it_on)
+        s0 = s0.at[jnp.maximum(found, 0)].set(
+            s0[jnp.maximum(found, 0)] | ok_found
+        )
+
+    return g, grid, actual_doors
+
+
 def place_objects(g, grid, free_cells, num_free, maze_dim, mdim_max: int,
                   start_obj: int, num_objs: int):
     """mazegen.cpp:292-306 — scatter objects on distinct carved cells,

@@ -57,8 +57,7 @@ def render_obs(game, s, res: int = 64):
 
     # prepare_for_drawing (cpp:828-847)
     if game.center_agent:
-        cx, cy = game.choose_center(s)
-        vis = s.visibility
+        cx, cy, vis = game.camera(s)
     else:
         cx = w * 0.5
         cy = h * 0.5
@@ -170,5 +169,7 @@ def render_obs(game, s, res: int = 64):
         r2 = in_y & ((sx >= infodim) & (sx < 2 * infodim))[None, :]
         obs = jnp.where(r1[:, :, None], s1, obs)
         obs = jnp.where(r2[:, :, None], s2, obs)
+
+    obs = game.render_overlay(s, obs, sx, sy, res, unit, vis)
 
     return obs.astype(u8)
