@@ -110,6 +110,9 @@ class BasicAbstractGame:
     GRID_COLLISION_RANGE: int = 2  # cells probed per axis in check_grid_collisions
     # static physics specialisation
     ENTITY_SCAN: bool = False  # sub_step scans entities (block/reflect pairs exist)
+    ENTITY_SCAN_NONAGENT: bool = False  # non-agent smart entities also scan
+    # (e.g. dodgeball enemies reflecting off wall entities); the override
+    # must not mutate global state so vectorised smart stepping stays valid
     PUSH_DEPTH: int = 5  # push-chain recursion cap (C++ depth limit, :265)
     ONLY_AGENT_SMART: bool = True  # only slot 0 has smart_step
     SMART_VECTORIZABLE: bool = True  # non-agent smart entities don't read each
@@ -526,7 +529,9 @@ class BasicAbstractGame:
         rec = tree_where(skip, rec, new)
 
         block2 = jnp.asarray(False)
-        if is_agent and self.ENTITY_SCAN:
+        if (is_agent and self.ENTITY_SCAN) or (
+            not is_agent and self.ENTITY_SCAN_NONAGENT
+        ):
             s, rec, block2 = self._entity_scan(s, rec, vx, vy, depth)
 
         blocked = jnp.where(skip, False, block | block2)

@@ -331,6 +331,9 @@ class Caveflyer(BasicAbstractGame):
             pickN, (g, jnp.zeros((A,), bool)), jnp.arange(self.MAX_OBJS)
         )
 
+        # kinds occupy contiguous index blocks (obstacles, targets, enemies)
+        # so three batched pushes preserve the C++ creation order
+        recs = {k: ([], []) for k in ("o", "t", "e")}
         for i in range(self.MAX_OBJS):
             do = sel[i] >= 0
             cell = jnp.argmax(free2 & (ranks2 == sel[i]))
@@ -342,12 +345,14 @@ class Caveflyer(BasicAbstractGame):
 
             of = default_fields(cx, cy, 0.0, 0.0, 0.5, 0.5, OBSTACLE)
             of["collides_with_entities"] = True
-            s = s.replace(ents=s.ents.push(of, do=kind_obstacle))
+            recs["o"][0].append(of)
+            recs["o"][1].append(kind_obstacle)
 
             tf = default_fields(cx, cy, 0.0, 0.0, 0.5, 0.5, TARGET)
             tf["health"] = 5.0
             tf["collides_with_entities"] = True
-            s = s.replace(ents=s.ents.push(tf, do=kind_target))
+            recs["t"][0].append(tf)
+            recs["t"][1].append(kind_target)
 
             g2, v01 = rng.rand01(g)
             vel0 = 0.1 * v01 + 0.1
@@ -360,7 +365,17 @@ class Caveflyer(BasicAbstractGame):
             ef["vy"] = jnp.where(axis01 < 0.5, 0.0, vel)
             ef["smart_step"] = True
             ef["collides_with_entities"] = True
-            s = s.replace(ents=s.ents.push(ef, do=kind_enemy))
+            recs["e"][0].append(ef)
+            recs["e"][1].append(kind_enemy)
+
+        for kind in ("o", "t", "e"):
+            rs, ds = recs[kind]
+            s = s.replace(
+                ents=s.ents.push_many(
+                    {k: jnp.stack([r[k] for r in rs]) for k in rs[0]},
+                    jnp.stack(ds),
+                )
+            )
 
         grid = jnp.where(grid == MARKER, SPACE, grid)
         s = s.replace(

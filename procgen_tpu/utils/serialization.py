@@ -2,53 +2,36 @@
 
 The env state is a pytree of arrays with leading env axis; a per-env blob is
 the concatenation of that env's leaves in deterministic (tree-flatten)
-order, with a small header.  This gives the same capability surface as the
-reference's WriteBuffer byte serialization (save/restore any env at any
-step, restore into a differently-seeded env) — see tests/test_state.py.
+order, with a magic header and the reference's 0xCAFECAFE end marker.  The
+heavy packing runs in the native codec (native/statecodec.cpp) when built,
+with a NumPy fallback.
 
-Byte-level compatibility with the C++ WriteBuffer format is NOT a goal: the
-reference serializes mt19937 as decimal text and per-entity field streams;
-the pytree layout is the TPU-native state of record.
+This provides the same capability surface as the reference's WriteBuffer
+serialization (save/restore any env at any step, restore into a
+differently-seeded env — tests/test_state.py).  Byte-level compatibility
+with the C++ WriteBuffer layout is a non-goal; the pytree is the state of
+record, and the native codec exposes the mt19937-text primitives needed to
+bridge formats.
 """
 
 from __future__ import annotations
 
-import struct
-
 import jax
 import numpy as np
+
+from . import native_codec
 
 MAGIC = b"PGTPU001"
 END_OF_BUFFER = 0xCAFECAFE  # vecgame.cpp:6
 
 
 def states_to_bytes(states, num: int) -> list[bytes]:
-    leaves = jax.tree_util.tree_leaves(states)
-    out = []
-    for i in range(num):
-        parts = [MAGIC]
-        for leaf in leaves:
-            arr = np.asarray(leaf[i])
-            raw = arr.tobytes()
-            parts.append(struct.pack("<I", len(raw)))
-            parts.append(raw)
-        parts.append(struct.pack("<I", END_OF_BUFFER))
-        out.append(b"".join(parts))
-    return out
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(states)]
+    return native_codec.pack_states(leaves, num)
 
 
-def states_from_bytes(blobs: list[bytes], template) -> "object":
+def states_from_bytes(blobs: list[bytes], template):
     leaves, treedef = jax.tree_util.tree_flatten(template)
     new_leaves = [np.array(np.asarray(l)) for l in leaves]
-    for i, blob in enumerate(blobs):
-        assert blob[:8] == MAGIC, "bad state blob"
-        off = 8
-        for j, leaf in enumerate(new_leaves):
-            (n,) = struct.unpack_from("<I", blob, off)
-            off += 4
-            arr = np.frombuffer(blob, dtype=leaf.dtype, count=n // leaf.dtype.itemsize, offset=off)
-            off += n
-            new_leaves[j][i] = arr.reshape(leaf.shape[1:])
-        (marker,) = struct.unpack_from("<I", blob, off)
-        assert marker == END_OF_BUFFER, "truncated state blob"
+    native_codec.unpack_states(blobs, new_leaves, len(blobs))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

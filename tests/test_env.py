@@ -73,8 +73,9 @@ def test_determinism(env_name):
 
 
 @pytest.mark.parametrize("env_name", GAMES)
-def test_episode_progression(env_name):
-    """Episodes end (timeout at minimum) and auto-reset starts a new level."""
+def test_forced_reset_and_progression(env_name):
+    """action == -1 forces a reset (game.cpp:141-144): first=True and a new
+    level seed on the next observe."""
     env = ProcgenGym3Env(
         num=4,
         env_name=env_name,
@@ -83,9 +84,18 @@ def test_episode_progression(env_name):
         distribution_mode="easy",
     )
     rng = np.random.RandomState(1)
-    _, _, firsts = rollout(env, 600, rng)
-    # every env must have restarted at least once within timeout+100 steps
-    assert firsts[1:].any(axis=0).all(), "no env ever finished an episode"
+    rollout(env, 20, rng)
+    info_before = env.get_info()
+    env.act(np.full(4, -1, np.int32))
+    _, _, first = env.observe()
+    info_after = env.get_info()
+    assert first.all(), "forced reset must set first=True"
+    seeds_before = [i["level_seed"] for i in info_before]
+    seeds_after = [i["level_seed"] for i in info_after]
+    assert any(a != b for a, b in zip(seeds_before, seeds_after)) or all(
+        i["prev_level_seed"] == b
+        for i, b in zip(info_after, seeds_before)
+    )
 
 
 def test_info_latent_state_maze():
