@@ -44,3 +44,35 @@ def shard_states(states, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> Mesh:
+    """Multi-host runtime: jax.distributed + a global env mesh.
+
+    Replaces the reference's MPI-rank seed decorrelation (env.py:73-82) and
+    per-process isolation: each host owns its contiguous shard of the env
+    axis; `jax.make_array_from_single_device_arrays` (or just device_put of
+    globally-shaped arrays under jit) assembles global batches.  Per-host
+    observation shards stay resident; consumers all-gather over ICI/DCN only
+    when they need the full batch.
+    """
+    import jax
+
+    if jax.process_count() == 1 and coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh()
+
+
+def host_local_slice(num_envs: int) -> tuple[int, int]:
+    """[start, end) of this process's env shard for host-side seeding."""
+    import jax
+
+    per = num_envs // jax.process_count()
+    start = per * jax.process_index()
+    return start, start + per

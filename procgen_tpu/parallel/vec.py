@@ -119,7 +119,11 @@ class JaxVecGame:
         master = HostMT19937(rand_seed)
         seeds = np.array([master.next_u32() for _ in range(num)], np.uint32)
 
-        self._k = reset_batch or max(1, min(num, max(8, num // 64)))
+        # Auto-reset sub-batch width: level-gen loops rewrite K-wide arrays
+        # hundreds of times, so K stays small; steady state finishes ~N/500
+        # envs per step and the while_loop just runs more (rare) iterations
+        # when a burst exceeds K.
+        self._k = reset_batch or max(1, min(num, 64))
 
         @jax.jit
         def init_fn(seeds):

@@ -74,6 +74,14 @@ def render_obs(game, s, res: int = 64):
 
     obs = jnp.zeros((res, res, 3), i32)  # black fill (cpp:989)
 
+    from .atlas import get_atlases
+
+    grid_atlas, bg_atlas = get_atlases(game, res)
+
+    # background image (cpp:988-1016) via separable one-hot matmuls
+    if bg_atlas is not None and game.options.use_backgrounds:
+        obs = _paint_background(game, s, obs, sx, sy, res, unit, vis, bg_atlas)
+
     draw_mask = game.should_draw_entity_mask(s)
 
     def paint_pool(obs, pool, zlevel, mask):
@@ -144,7 +152,15 @@ def render_obs(game, s, res: int = 64):
     v = wys[:, None] - jnp.floor(wys)[:, None]
     u = jnp.broadcast_to(u, (res, res))
     v = jnp.broadcast_to(v, (res, res))
+
+    textured = jnp.zeros((res, res), bool)
+    if grid_atlas is not None:
+        obs, textured = _paint_grid_tiles(
+            game, s, obs, res, unit, vis, x_off, y_off, wxs, wys, grid_atlas
+        )
+
     gvalid, r, g_, b = game.grid_cell_colors(s, gtype, u, v)
+    gvalid = gvalid & ~textured  # textured cells already painted
     gcol = jnp.stack(
         [
             jnp.broadcast_to(jnp.asarray(r, i32), (res, res)),
@@ -173,3 +189,137 @@ def render_obs(game, s, res: int = 64):
     obs = game.render_overlay(s, obs, sx, sy, res, unit, vis)
 
     return obs.astype(u8)
+
+
+def _paint_background(game, s, obs, sx, sy, res, unit, vis, bg_atlas):
+    """draw_background (cpp:988-1016) as separable one-hot matmuls."""
+    bf16 = jnp.bfloat16
+    pix = jnp.asarray(bg_atlas.pixels)  # [n, BH, BW, 3]
+    aspects = jnp.asarray(bg_atlas.aspects)
+    BH, BW = bg_atlas.BH, bg_atlas.BW
+    bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
+    img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False).astype(bf16)
+    bg_ar = aspects[bi]
+
+    W = s.main_width.astype(f32)
+    H = s.main_height.astype(f32)
+    if game.center_agent:
+        cx, cy, _ = game.camera(s)
+    else:
+        cx = W * 0.5
+        cy = H * 0.5
+    x_off = unit * (cx - vis / 2)
+    y_off = unit * (cy - vis / 2)
+    # main_rect = get_screen_rect(0, H, W, H) (cpp:997)
+    mr_x = -x_off
+    mr_y = (vis - H) * unit + y_off
+    mr_w = W * unit
+    mr_h = H * unit
+
+    if game.bg_tile_ratio < 0:
+        # vertical tiling (tile_image, cpp:849-878)
+        ratio = -game.bg_tile_ratio
+        num_tiles = jnp.maximum((mr_h / (mr_w * ratio)).astype(i32), 1)
+        tile_h = mr_h / num_tiles.astype(f32)
+        fy = (sy - mr_y) / tile_h
+        frac_y = fy - jnp.floor(fy)
+        row_idx = jnp.clip((frac_y * BH).astype(i32), 0, BH - 1)
+        col_idx = jnp.clip(((sx - mr_x) / mr_w * BW).astype(i32), 0, BW - 1)
+        in_y = (sy >= mr_y) & (sy < mr_y + mr_h)
+        in_x = (sx >= mr_x) & (sx < mr_x + mr_w)
+    else:
+        # aspect-preserving crop with random x offset (cpp:1003-1015)
+        world_ar = W / H
+        extra_w = bg_ar - world_ar
+        offx = s.bg_pct_x * extra_w
+        bgr_x = mr_x + mr_w * (-offx)
+        bgr_w = mr_w * bg_ar / world_ar
+        row_idx = jnp.clip(((sy - mr_y) / mr_h * BH).astype(i32), 0, BH - 1)
+        col_idx = jnp.clip(((sx - bgr_x) / bgr_w * BW).astype(i32), 0, BW - 1)
+        in_y = (sy >= mr_y) & (sy < mr_y + mr_h)
+        in_x = (sx >= bgr_x) & (sx < bgr_x + bgr_w)
+
+    R = ((row_idx[:, None] == jnp.arange(BH)[None, :]) & in_y[:, None]).astype(bf16)
+    C = ((col_idx[:, None] == jnp.arange(BW)[None, :]) & in_x[:, None]).astype(bf16)
+    e1 = jnp.einsum("ph,hwc->pwc", R, img, preferred_element_type=jnp.float32)
+    samp = jnp.einsum(
+        "qw,pwc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
+    )
+    return jnp.round(samp).astype(i32)
+
+
+def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
+                      atlas):
+    """Textured grid pass: aligned-canvas one-hot assembly + separable
+    nearest resample (see render/atlas.py docstring)."""
+    import numpy as np
+
+    bf16 = jnp.bfloat16
+    sA = atlas.tile_px
+    rows_np = atlas.rows  # [n+1, sA, sA, 4]
+    n1 = rows_np.shape[0]
+    # 5th channel marks atlas-covered texels so the colored-rect path can
+    # skip those cells
+    aug = np.zeros((n1, sA, sA, 5), np.uint8)
+    aug[..., :4] = rows_np
+    aug[: atlas.transparent_row, ..., 4] = 255
+    flat = jnp.asarray(aug.reshape(n1, -1), bf16)
+
+    wmax, hmax = game.WORLD_DIM_MAX
+    if game.center_agent:
+        NC = int(game.visibility) + 3
+        cx, cy, vis_d = game.camera(s)
+        margin = vis_d / 2 + 1
+        low_x = jnp.trunc(cx - margin).astype(i32)
+        low_y = jnp.trunc(cy - margin).astype(i32)
+        oob_val = game.out_of_bounds_object
+    else:
+        NC = max(wmax, hmax)
+        low_x = jnp.zeros((), i32)
+        low_y = jnp.zeros((), i32)
+        oob_val = INVALID_OBJ
+
+    top_y = low_y + NC
+    cys = top_y - 1 - jnp.arange(NC)  # canvas rows: descending world y
+    cxs = low_x + jnp.arange(NC)
+    gt = _onehot_sample_grid(s.grid, cys, cxs, hmax, wmax, INVALID_OBJ)
+    inb = ((cys >= 0) & (cys < s.main_height))[:, None] & (
+        (cxs >= 0) & (cxs < s.main_width)
+    )[None, :]
+    gt = jnp.where(inb, gt, oob_val)
+
+    img = game.image_for_type(s, gt)
+    theme = game.theme_for_grid_obj(s, gt)
+    img = jnp.where(gt == INVALID_OBJ, -1, img)
+    row = atlas.row_for(img, theme)
+
+    oh = (row.reshape(-1)[:, None] == jnp.arange(n1)[None, :]).astype(bf16)
+    canvas = jnp.einsum(
+        "ci,if->cf", oh, flat, preferred_element_type=jnp.float32
+    )  # [NC*NC, sA*sA*5]
+    canvas = canvas.reshape(NC, NC, sA, sA, 5)
+    canvas = jnp.transpose(canvas, (0, 2, 1, 3, 4)).reshape(
+        NC * sA, NC * sA, 5
+    )
+
+    # separable nearest resample from canvas coords to output pixels
+    cyx = (top_y.astype(f32) - wys) * sA  # [res] canvas row per pixel row
+    cxx = (wxs - low_x.astype(f32)) * sA
+    ri = jnp.clip(jnp.floor(cyx).astype(i32), 0, NC * sA - 1)
+    ci = jnp.clip(jnp.floor(cxx).astype(i32), 0, NC * sA - 1)
+    in_r = (cyx >= 0) & (cyx < NC * sA)
+    in_c = (cxx >= 0) & (cxx < NC * sA)
+    R = ((ri[:, None] == jnp.arange(NC * sA)[None, :]) & in_r[:, None]).astype(bf16)
+    C = ((ci[:, None] == jnp.arange(NC * sA)[None, :]) & in_c[:, None]).astype(bf16)
+    e1 = jnp.einsum(
+        "pa,abc->pbc", R, canvas.astype(bf16), preferred_element_type=jnp.float32
+    )
+    samp = jnp.einsum(
+        "qb,pbc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
+    )
+
+    alpha = samp[..., 3:4] / 255.0
+    rgb = samp[..., :3]
+    blended = jnp.round(obs.astype(f32) * (1 - alpha) + rgb * alpha).astype(i32)
+    covered = samp[..., 4] > 127
+    return blended, covered
