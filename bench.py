@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 200))
+PROFILE_DIR = os.environ.get("BENCH_PROFILE_DIR", "")  # jax.profiler trace
 BASELINE_STEPS_PER_SEC = 3000.0
 
 
@@ -44,11 +45,15 @@ def main():
     states, obs, rew, done = step_jit(states, actions[0])
     jax.block_until_ready(obs)
 
+    if PROFILE_DIR:
+        jax.profiler.start_trace(PROFILE_DIR)
     t0 = time.perf_counter()
     for t in range(1, NUM_STEPS):
         states, obs, rew, done = step_jit(states, actions[t])
     jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
+    if PROFILE_DIR:
+        jax.profiler.stop_trace()
 
     steps_per_sec = (NUM_STEPS - 1) * NUM_ENVS / dt
     print(

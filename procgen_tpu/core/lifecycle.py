@@ -93,6 +93,8 @@ def env_reset(game: BasicAbstractGame, s: BasicState) -> BasicState:
         rand_gen=rng.seed(cur.astype(jnp.uint32)),
     )
     s = game.game_reset(s)
+    # normalize the stream so env_step's peek pays a single twist
+    s = s.replace(rand_gen=rng.normalize(s.rand_gen))
     return s.replace(
         cur_time=jnp.zeros((), i32),
         total_reward=jnp.zeros((), f32),
@@ -116,7 +118,9 @@ def env_step(game: BasicAbstractGame, s: BasicState, action) -> tuple[BasicState
         level_complete=jnp.asarray(False),
     )
 
-    draws, norm_rg = rng.peek_block(s.rand_gen, game.MAX_STEP_DRAWS)
+    draws, norm_rg = rng.peek_block(
+        s.rand_gen, game.MAX_STEP_DRAWS, assume_normalized=True
+    )
     s = s.replace(rand_gen=norm_rg)
     s, draws = game.game_step(s, draws)
     s = s.replace(rand_gen=rng.commit(s.rand_gen, draws))

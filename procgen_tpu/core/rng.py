@@ -223,19 +223,34 @@ class Draws:
         return d, f > 0.5
 
 
-def peek_block(state: MTState, k: int) -> Draws:
+def normalize(state: MTState) -> MTState:
+    """Fold a pending boundary twist so that pos < N.
+
+    Called once per reset; ``commit`` preserves the invariant, letting the
+    per-step ``peek_block`` pay a single twist instead of two.
+    """
+    needs = state.pos >= N
+    mt = jnp.where(needs, twist(state.mt), state.mt)
+    return state.replace(mt=mt, pos=jnp.where(needs, 0, state.pos))
+
+
+def peek_block(state: MTState, k: int, assume_normalized: bool = False) -> Draws:
     """Materialise the next ``k`` tempered outputs without consuming them.
 
     Requires ``k <= N``; the window crosses at most one twist boundary, so a
     single vectorised twist covers every possible cursor position.
     """
     assert k <= N, "peek window larger than one MT block"
-    # If pos == N the boundary twist happens *before* the first draw of the
-    # window; normalise so 0 <= pos < N with `mt` already twisted in that case.
-    at_boundary = state.pos >= N
-    twisted0 = twist(state.mt)
-    mt = jnp.where(at_boundary, twisted0, state.mt)
-    pos = jnp.where(at_boundary, 0, state.pos)
+    if assume_normalized:
+        mt = state.mt
+        pos = state.pos
+    else:
+        # If pos == N the boundary twist happens *before* the first draw of
+        # the window; normalise so 0 <= pos < N, twisting if needed.
+        at_boundary = state.pos >= N
+        twisted0 = twist(state.mt)
+        mt = jnp.where(at_boundary, twisted0, state.mt)
+        pos = jnp.where(at_boundary, 0, state.pos)
     # The twist that the window might cross mid-way.
     twisted = twist(mt)
     idx = pos + jnp.arange(k, dtype=i32)

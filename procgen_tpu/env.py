@@ -135,6 +135,8 @@ class BaseProcgenEnv:
             return self.get_state()
         if method == "set_state":
             return self.set_state(*args)
+        if method == "set_latent_state":
+            return self._vec.set_latent_state(*args)
         raise AttributeError(f"unknown method {method}")
 
     # -- checkpointing ------------------------------------------------------

@@ -185,3 +185,18 @@ class JaxVecGame:
         self.states = jax.device_put(
             states, jax.tree_util.tree_map(lambda a: a.sharding, self.states)
         )
+
+    def set_latent_state(self, latents: list[dict]) -> None:
+        """Apply per-env latent-state dicts (games with game_set_state —
+        miner, miner.cpp:423-449)."""
+        if not hasattr(self.game, "set_latent_state"):
+            raise AttributeError(
+                f"{self.game.name} does not support set_latent_state"
+            )
+        batched = {
+            k: jnp.stack([jnp.asarray(l[k]) for l in latents])
+            for k in latents[0]
+        }
+        self.states = jax.jit(
+            jax.vmap(lambda s, l: self.game.set_latent_state(s, l))
+        )(self.states, batched)

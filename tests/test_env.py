@@ -113,3 +113,36 @@ def test_info_latent_state_maze():
     assert grid[ay, ax] != 51  # agent stands on a free cell
     ex, ey = info["exit_pos"]
     assert grid[ey, ex] == 2  # GOAL
+
+
+def test_render_human_hi_res():
+    """render_mode="rgb_array" exposes 512x512 frames via info["rgb"]
+    (vecgame.cpp:318-330)."""
+    env = ProcgenGym3Env(
+        num=1, env_name="maze", rand_seed=5, distribution_mode="easy",
+        use_monochrome_assets=True, render_mode="rgb_array",
+    )
+    info = env.get_info()[0]
+    assert info["rgb"].shape == (512, 512, 3)
+    assert info["rgb"].dtype == np.uint8
+
+
+def test_miner_set_latent_state():
+    """miner supports writing latent state back (miner.cpp:423-449)."""
+    env = ProcgenGym3Env(
+        num=2, env_name="miner", rand_seed=5, distribution_mode="easy",
+        use_monochrome_assets=True,
+    )
+    infos = env.get_info()
+    latents = [
+        {
+            "grid": i["grid"],
+            "agent_pos": np.array([1, 1]),
+            "exit_pos": i["exit_pos"],
+        }
+        for i in infos
+    ]
+    env.callmethod("set_latent_state", latents)
+    infos2 = env.get_info()
+    for i in infos2:
+        assert tuple(i["agent_pos"]) == (1, 1)
