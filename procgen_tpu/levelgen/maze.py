@@ -76,13 +76,17 @@ def generate_maze(g: rng.MTState, maze_dim, mdim_max: int):
     wall_count = jnp.sum(valid).astype(i32)
     w_static = len(cands)
 
+    # every live iteration draws exactly once (walls.erase consumes a draw
+    # whether or not the wall is removed, mazegen.cpp:151-186), so the whole
+    # sequence comes from one upfront block — no per-iteration twist.
+    assert w_static <= rng.N, "wall list exceeds one MT block"
+    g, wall_draws = rng.draw_n(g, w_static, wall_count)
+
     def body(t, carry):
-        g, grid, idxs, free_cells, in_free, num_free, alive = carry
+        grid, idxs, free_cells, in_free, num_free, alive = carry
         live = t < wall_count
         remaining = wall_count - t
-
-        g2, n = rng.randn(g, remaining)
-        g = tree_where(live, g2, g)
+        n = rng._randn_from(wall_draws[t], remaining)
 
         # select the n-th alive wall in original order, then kill it
         ranks = jnp.cumsum(alive.astype(i32)) - 1
@@ -117,12 +121,12 @@ def generate_maze(g: rng.MTState, maze_dim, mdim_max: int):
         idxs = jnp.where(can_remove & (idxs == s0_idx), s1_idx, idxs)
         idxs = idxs.at[center].set(jnp.where(can_remove, s1_idx, idxs[center]))
 
-        return (g, grid, idxs, free_cells, in_free, num_free, alive)
+        return (grid, idxs, free_cells, in_free, num_free, alive)
 
     alive0 = jnp.arange(w_static) < wall_count
-    g, grid, idxs, free_cells, in_free, num_free, _ = jax.lax.fori_loop(
+    grid, idxs, free_cells, in_free, num_free, _ = jax.lax.fori_loop(
         0, w_static, body,
-        (g, grid, idxs, free_cells, in_free, num_free, alive0),
+        (grid, idxs, free_cells, in_free, num_free, alive0),
     )
     return g, grid, free_cells, num_free, in_free
 
@@ -137,8 +141,12 @@ def generate_maze_no_dead_ends(g: rng.MTState, maze_dim, mdim_max: int):
     # neighbor order matches get_neighbors (mazegen.cpp:50-69)
     offs = ((-1, 0), (0, -1), (0, 1), (1, 0))
 
+    # one draw per dead end, consumed from an upfront block (dead ends are a
+    # strict subset of carved cells, always < one MT block)
+    _, de_draws = rng.draw_n(g, rng.N, jnp.zeros((), i32))
+
     def body(i, carry):
-        g, grid = carry
+        grid, cursor = carry
         x = i % array_dim
         y = i // array_dim
         interior = (x > 0) & (x < array_dim - 1) & (y > 0) & (y < array_dim - 1)
@@ -163,15 +171,20 @@ def generate_maze_no_dead_ends(g: rng.MTState, maze_dim, mdim_max: int):
         n_wall = jnp.sum(wall_mask)
         fix = (obj == SPACE) & (n_space == 1) & (n_wall > 0) & (i < array_dim * array_dim)
 
-        g2, r = rng.randn(g, jnp.maximum(n_wall, 1))
-        g = tree_where(fix, g2, g)
+        r = rng._randn_from(
+            de_draws[jnp.clip(cursor, 0, rng.N - 1)], jnp.maximum(n_wall, 1)
+        )
+        cursor = cursor + fix.astype(i32)
         ranks = jnp.cumsum(wall_mask.astype(jnp.int32)) - 1
         sel = jnp.argmax(wall_mask & (ranks == r))
         tgt = n_idx[sel]
         grid = grid.at[tgt].set(jnp.where(fix, SPACE, grid[tgt]))
-        return (g, grid)
+        return (grid, cursor)
 
-    g, grid = jax.lax.fori_loop(0, adim_max * adim_max, body, (g, grid))
+    grid, cursor = jax.lax.fori_loop(
+        0, adim_max * adim_max, body, (grid, jnp.zeros((), i32))
+    )
+    g, _ = rng.draw_n(g, rng.N, cursor)  # advance by the consumed count
     return g, grid, free_cells, num_free, in_free
 
 
