@@ -17,8 +17,7 @@ This is the TPU-native re-design of the reference's ``Game`` (game.cpp) and
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,6 @@ from flax import struct
 
 from . import rng
 from .constants import (
-    INT32_MAX,
     INVALID_OBJ,
     MAXVTHETA,
     MIXRATEROT,
@@ -343,6 +341,12 @@ class BasicAbstractGame:
         centers in screen coords; unit = res/visibility."""
         return obs
 
+    def paint_background(self, s, res, sx, sy, bg_atlas):
+        """Full background-pass override (games whose game_draw replaces
+        draw_background, e.g. starpilot's time-scrolled tiling).  Return an
+        [res, res, 3] i32 image, or None to use the standard pass."""
+        return None
+
     def grid_cell_colors(self, s, gtype, u, v):
         """Per-pixel grid coloring: (valid, r, g, b) given cell type and
         within-cell fractional coords (draw_grid_obj override point,
@@ -521,11 +525,14 @@ class BasicAbstractGame:
         new["x"] = jnp.where(
             reflect, jnp.where(horiz, nx_ref, nx), jnp.where(block & horiz, nx_blk, nx)
         )
+        vert = jnp.logical_not(horiz)
         new["y"] = jnp.where(
-            reflect, jnp.where(horiz, ny, ny_ref), jnp.where(block & ~horiz, ny_blk, ny)
+            reflect,
+            jnp.where(horiz, ny, ny_ref),
+            jnp.where(block & vert, ny_blk, ny),
         )
         new["vx"] = jnp.where(reflect & horiz, -rec["vx"], rec["vx"])
-        new["vy"] = jnp.where(reflect & ~horiz, -rec["vy"], rec["vy"])
+        new["vy"] = jnp.where(reflect & vert, -rec["vy"], rec["vy"])
         rec = tree_where(skip, rec, new)
 
         block2 = jnp.asarray(False)

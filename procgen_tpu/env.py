@@ -13,7 +13,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from .core.constants import MAX_STATE_SIZE  # noqa: F401  (API parity)
-from .core.options import GameOptions, VecOptions, parse_game_options
+from .core.options import VecOptions, parse_game_options
 from .games.registry import make_game
 from .parallel.vec import JaxVecGame
 

@@ -3,12 +3,10 @@
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from procgen_tpu.core.constants import EASY_MODE, INT32_MAX
+from procgen_tpu.core.constants import EASY_MODE
 from procgen_tpu.core.options import GameOptions
-from procgen_tpu.core import lifecycle
 from procgen_tpu.games.registry import make_game
 from procgen_tpu.parallel.vec import JaxVecGame
 

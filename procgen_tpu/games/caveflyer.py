@@ -12,7 +12,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from ..core import rng
 from ..core.constants import (
@@ -256,13 +255,6 @@ class Caveflyer(BasicAbstractGame):
         def pick2(carry, _):
             g, used = carry
             g, v = rng.randn(g, nfree)
-
-            def cond(c):
-                return c[1][c[0][1]] if False else used_at(c)
-
-            def used_at(c):
-                g_, v_ = c
-                return used[v_]
 
             def body(c):
                 g_, v_ = c

@@ -4,14 +4,13 @@ enemies are lethal.  Reference: procgen/src/games/climber.cpp.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..core import rng
 from ..core.constants import EASY_MODE, PLAYER
 from ..core.entities import default_fields
-from ..core.game import BasicAbstractGame, BasicState, tree_where
+from ..core.game import BasicAbstractGame, BasicState
 from .registry import register
 
 i32 = jnp.int32

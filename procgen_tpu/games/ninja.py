@@ -11,14 +11,13 @@ from __future__ import annotations
 
 import math
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..core import rng
 from ..core.constants import EASY_MODE, EXPLOSION, PLAYER, SPACE
 from ..core.entities import default_fields
-from ..core.game import BasicAbstractGame, BasicState, tree_where
+from ..core.game import BasicAbstractGame, BasicState
 from .registry import register
 
 i32 = jnp.int32

@@ -132,6 +132,41 @@ class Starpilot(BasicAbstractGame):
 
         return SPACE_BACKGROUNDS
 
+    def paint_background(self, s, res, sx, sy, bg_atlas):
+        """Time-scrolled background tiling (starpilot.cpp:107-122).
+
+        18 square tiles of side 3*res (bg_k=3, BG_RATIO=18), top edge at
+        -res, scrolled left by cur_time * scale * hp_slow_v * 2 / char_dim
+        pixels (char_dim=5, basic-abstract-game.cpp:24).  Sampled with the
+        same separable one-hot matmuls as the standard pass.
+        """
+        bf16 = jnp.bfloat16
+        pix = jnp.asarray(bg_atlas.pixels)  # [n, BH, BW, 3]
+        BH, BW = bg_atlas.BH, bg_atlas.BW
+        bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
+        img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False).astype(bf16)
+
+        scale = f32(res) / s.main_height.astype(f32)
+        x_off = -s.cur_time.astype(f32) * scale * self.hp_slow_v * 2.0 / 5.0
+        side = f32(3 * res)  # tile side = rect height * bg_k
+        tx = sx - x_off
+        fx = tx / side
+        col_idx = jnp.clip(((fx - jnp.floor(fx)) * BW).astype(jnp.int32), 0, BW - 1)
+        in_x = (tx >= 0) & (tx < 18.0 * side)
+        row_idx = jnp.clip(
+            ((sy + f32(res)) / side * BH).astype(jnp.int32), 0, BH - 1
+        )
+
+        R = (row_idx[:, None] == jnp.arange(BH)[None, :]).astype(bf16)
+        C = (
+            (col_idx[:, None] == jnp.arange(BW)[None, :]) & in_x[:, None]
+        ).astype(bf16)
+        e1 = jnp.einsum("ph,hwc->pwc", R, img, preferred_element_type=jnp.float32)
+        samp = jnp.einsum(
+            "qw,pwc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
+        )
+        return jnp.round(samp).astype(jnp.int32)
+
     def asset_for_type(self, type_):
         # starpilot.cpp:61-109
         if type_ == PLAYER:

@@ -25,7 +25,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.constants import MAX_ASSETS, SPACE
+from ..core.constants import MAX_ASSETS
 from . import assets as asset_tables
 from .assets import monochrome_color
 
@@ -125,18 +125,24 @@ def get_atlases(game, res: int):
     key = (game.name, game.options.distribution_mode, res, id(type(game)))
     if key in _CACHE:
         return _CACHE[key]
-    if asset_tables.asset_root() is None or game.options.use_monochrome_assets:
+    if asset_tables.asset_root() is None:
         _CACHE[key] = (None, None)
         return _CACHE[key]
 
-    # cell pixel size: ceil(res / visible cells)
-    if game.center_agent:
-        vis = game.visibility
+    # use_monochrome_assets replaces only sprite/tile assets with colors;
+    # backgrounds stay real images (color_for_type at
+    # basic-abstract-game.cpp:464-467 vs draw_background at cpp:988-1016).
+    if game.options.use_monochrome_assets:
+        grid_atlas = None
     else:
-        vis = max(game.WORLD_DIM_MAX)
-        vis = max(vis, game.min_visibility)
-    tile_px = max(2, int(np.ceil(res / vis)))
-    grid_atlas = GridAtlas(game, tile_px)
+        # cell pixel size: ceil(res / visible cells)
+        if game.center_agent:
+            vis = game.visibility
+        else:
+            vis = max(game.WORLD_DIM_MAX)
+            vis = max(vis, game.min_visibility)
+        tile_px = max(2, int(np.ceil(res / vis)))
+        grid_atlas = GridAtlas(game, tile_px)
     bg_atlas = BackgroundAtlas(game.background_names())
     if not bg_atlas.loaded:
         bg_atlas = None

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.constants import INVALID_OBJ, SPACE
-from .assets import monochrome_color
 
 f32 = jnp.float32
 i32 = jnp.int32
@@ -80,7 +79,13 @@ def render_obs(game, s, res: int = 64):
 
     # background image (cpp:988-1016) via separable one-hot matmuls
     if bg_atlas is not None and game.options.use_backgrounds:
-        obs = _paint_background(game, s, obs, sx, sy, res, unit, vis, bg_atlas)
+        custom = game.paint_background(s, res, sx, sy, bg_atlas)
+        if custom is not None:
+            obs = custom
+        else:
+            obs = _paint_background(
+                game, s, obs, sx, sy, res, unit, vis, bg_atlas
+            )
 
     draw_mask = game.should_draw_entity_mask(s)
 
@@ -108,7 +113,11 @@ def render_obs(game, s, res: int = 64):
             cover = ycov[:, None] & xcov[None, :] & live_all[i]
             return jnp.where(cover, i, winner)
 
-        winner = jax.lax.fori_loop(0, cap, body, jnp.full((res, res), -1, i32))
+        # traced bound: under vmap the loop runs to the batch-max live
+        # count, not the static capacity
+        winner = jax.lax.fori_loop(
+            0, e.count, body, jnp.full((res, res), -1, i32)
+        )
 
         # resolve winner -> color with a one-hot matmul over slots
         r, g_, b = game.color_for_type(img_all, e.image_theme)
