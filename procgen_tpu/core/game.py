@@ -87,6 +87,9 @@ class BasicState:
     # splitting the pool keeps interactive-entity scans small (TPU-first) at
     # the cost of intra-z-level paint order among decoratives (documented).
     decor: Entities = None
+    # procedurally generated per-level background (use_generated_assets /
+    # use_procgen_background, cpp:778-782); u8[CAN, CAN, 3] or None
+    bg_canvas: Any = None
     # per-game extension pytree
     game: Any = None
 
@@ -161,9 +164,16 @@ class BasicAbstractGame:
     def grid_cap(self) -> int:
         return self.WORLD_DIM_MAX[0] * self.WORLD_DIM_MAX[1]
 
+    @property
+    def uses_procgen_background(self) -> bool:
+        """game_init (cpp:54-66): generated assets (or a game with no
+        background images) fall back to a single procedurally painted
+        background regenerated every reset."""
+        return self.options.use_generated_assets or not self.background_names()
+
     def num_backgrounds(self) -> int:
         """Static count of the game's background group (resources.cpp:828-953)."""
-        if self.options.use_generated_assets or not self.background_names():
+        if self.uses_procgen_background:
             return 1
         return len(self.background_names())
 
@@ -346,6 +356,19 @@ class BasicAbstractGame:
         draw_background, e.g. starpilot's time-scrolled tiling).  Return an
         [res, res, 3] i32 image, or None to use the standard pass."""
         return None
+
+    def entity_tile_ratio(self, s, e):
+        """get_tile_aspect_ratio (cpp:415-418): per-slot [cap] f32.  0 means
+        stretch, >0 tiles horizontally, <0 tiles vertically within the
+        entity rect (dodgeball lava walls, fruitbot barriers, leaper finish
+        line)."""
+        return jnp.zeros_like(e.x)
+
+    def adjust_image_rect(self, img, x0, y0, w2, h2):
+        """get_adjusted_image_rect (cpp:816-818): per-slot sprite rect tweak
+        in screen coords (y down).  coinrun/leaper stretch the player sprite
+        above its hitbox.  Returns (x0, y0, w2, h2)."""
+        return x0, y0, w2, h2
 
     def grid_cell_colors(self, s, gtype, u, v):
         """Per-pixel grid coloring: (valid, r, g, b) given cell type and
@@ -1019,10 +1042,10 @@ class BasicAbstractGame:
         )
         s, bgi = self.randn(s, self.num_backgrounds())
         s = s.replace(background_index=bgi)
-        if self.options.use_generated_assets or not self.background_names():
-            # use_procgen_background: AssetGen consumes rand_gen draws
-            # (cpp:778-782).  Draw-parity for generated assets lands with the
-            # assetgen module; the background itself is procedural on-device.
+        if self.uses_procgen_background:
+            # use_procgen_background: AssetGen regenerates the background
+            # every reset from the level rand_gen (cpp:776-782) — the exact
+            # draw sequence AND the painted canvas, kept in state.bg_canvas.
             from ..render import assetgen
 
             s = assetgen.consume_background_draws(self, s)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from . import rng
 from .game import BasicAbstractGame, BasicState, tree_where
 from .entities import Entities
+from ..render import assetgen
 
 f32 = jnp.float32
 i32 = jnp.int32
@@ -60,6 +61,11 @@ def initial_state(game: BasicAbstractGame, lsrg_seed) -> BasicState:
         step_rand_int=z32,
         visibility=jnp.asarray(game.visibility, f32),
         decor=Entities.zeros(game.DECOR_CAP) if game.DECOR_CAP else None,
+        bg_canvas=(
+            jnp.zeros((assetgen.CAN, assetgen.CAN, 3), jnp.uint8)
+            if game.uses_procgen_background
+            else None
+        ),
         game=game.game_init_state(),
     )
 

@@ -274,16 +274,12 @@ def commit(norm_state: MTState, draws: Draws) -> MTState:
     return norm_state.replace(mt=mt, pos=pos)
 
 
-def draw_n(state: MTState, n_max: int, n=None):
-    """Materialise the next ``n_max`` tempered outputs and advance by ``n``
-    (traced, <= n_max; defaults to n_max).
+def draw_block(state: MTState, n_max: int):
+    """Materialise the next ``n_max`` tempered outputs WITHOUT advancing.
 
-    Used for bulk draw sites (e.g. jumper's per-cell terrain rolls,
-    jumper.cpp:246-256) — pays ceil(n_max/624)+1 twists instead of one per
-    draw.
+    Returns (vals[u32 n_max], ctx); pass ctx to ``advance_block`` with the
+    traced count actually consumed.  Pays ceil(n_max/624)+1 twists.
     """
-    if n is None:
-        n = n_max
     at_boundary = state.pos >= N
     twisted0 = twist(state.mt)
     mt = jnp.where(at_boundary, twisted0, state.mt)
@@ -295,13 +291,31 @@ def draw_n(state: MTState, n_max: int, n=None):
         blocks.append(twist(blocks[-1]))
     all_out = temper(jnp.concatenate(blocks))  # [(k_blocks+1)*N]
     vals = jax.lax.dynamic_slice(all_out, (pos,), (n_max,))
+    return vals, (jnp.stack(blocks), pos, k_blocks)
 
+
+def advance_block(state: MTState, ctx, n) -> MTState:
+    """Advance the stream by ``n`` (traced) words drawn from ``draw_block``."""
+    mt_stack, pos, k_blocks = ctx
     new_pos_abs = pos + jnp.asarray(n, i32)
     blk = new_pos_abs // N
     new_pos = new_pos_abs % N
-    mt_stack = jnp.stack(blocks)  # [k+1, N]
     new_mt = mt_stack[jnp.clip(blk, 0, k_blocks)]
-    return state.replace(mt=new_mt, pos=new_pos), vals
+    return state.replace(mt=new_mt, pos=new_pos)
+
+
+def draw_n(state: MTState, n_max: int, n=None):
+    """Materialise the next ``n_max`` tempered outputs and advance by ``n``
+    (traced, <= n_max; defaults to n_max).
+
+    Used for bulk draw sites (e.g. jumper's per-cell terrain rolls,
+    jumper.cpp:246-256) — pays ceil(n_max/624)+1 twists instead of one per
+    draw.
+    """
+    if n is None:
+        n = n_max
+    vals, ctx = draw_block(state, n_max)
+    return advance_block(state, ctx, n), vals
 
 
 # ---------------------------------------------------------------------------

@@ -92,19 +92,35 @@ class BaseProcgenEnv:
                 "debug_mode": debug_mode,
             }
         )
-        opts = VecOptions(options)
-        game_options, game_type = parse_game_options(env_name, opts)
-        game = make_game(env_name, game_options)
-        game.game_type = game_type
+        names = env_name.split(",")  # joint-game mode (vecgame.cpp:343-347)
+        games = []
+        for name in names:
+            opts = VecOptions(dict(options))
+            game_options, game_type = parse_game_options(name, opts)
+            game = make_game(name, game_options)
+            game.game_type = game_type
+            games.append(game)
 
-        self._vec = JaxVecGame(
-            num=num,
-            game=game,
-            rand_seed=rand_seed,
-            num_levels=num_levels,
-            start_level=start_level,
-            render_human=render_human,
-        )
+        if len(games) == 1:
+            self._vec = JaxVecGame(
+                num=num,
+                game=games[0],
+                rand_seed=rand_seed,
+                num_levels=num_levels,
+                start_level=start_level,
+                render_human=render_human,
+            )
+        else:
+            from .parallel.vec import JointJaxVecGame
+
+            self._vec = JointJaxVecGame(
+                num=num,
+                games=games,
+                rand_seed=rand_seed,
+                num_levels=num_levels,
+                start_level=start_level,
+                render_human=render_human,
+            )
         self.options = options
 
     # -- gym3 surface -------------------------------------------------------
@@ -143,18 +159,11 @@ class BaseProcgenEnv:
 
     def get_state(self):
         """Per-env opaque state blobs (pytree leaves serialized per env)."""
-        from .utils import serialization
-
-        return serialization.states_to_bytes(self._vec.get_state_pytree(), self.num)
+        return self._vec.get_state_blobs()
 
     def set_state(self, states):
-        from .utils import serialization
-
         assert len(states) == self.num
-        tree = serialization.states_from_bytes(
-            states, self._vec.get_state_pytree()
-        )
-        self._vec.set_state_pytree(tree)
+        self._vec.set_state_blobs(states)
 
     # -- input handling -----------------------------------------------------
 

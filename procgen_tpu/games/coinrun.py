@@ -131,6 +131,18 @@ class Coinrun(BasicAbstractGame):
     def use_block_asset(self, type_):
         return type_ in (WALL_MID, WALL_TOP)
 
+    def adjust_image_rect(self, img, x0, y0, w2, h2):
+        # coinrun.cpp:64-70: player sprite extends 0.7415*h above the hitbox
+        p = (img == PLAYER) | (img == PLAYER_JUMP) | (img == PLAYER_RIGHT1) | (
+            img == PLAYER_RIGHT2
+        )
+        return (
+            x0,
+            jnp.where(p, y0 - 0.7415 * h2, y0),
+            w2,
+            jnp.where(p, 1.7415 * h2, h2),
+        )
+
     def game_init_state(self):
         z = jnp.zeros(())
         return CoinrunState(

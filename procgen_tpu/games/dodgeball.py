@@ -133,6 +133,12 @@ class Dodgeball(BasicAbstractGame):
     def use_block_asset(self, type_):
         return type_ in (LAVA_WALL, DOOR, DOOR_OPEN)
 
+    def entity_tile_ratio(self, s, e):
+        # dodgeball.cpp:240-246: lava walls tile along their long axis
+        return jnp.where(
+            e.type == LAVA_WALL, jnp.where(e.rx > e.ry, 1.0, -1.0), 0.0
+        )
+
     def game_init_state(self):
         return DodgeballState(
             last_fire_time=jnp.zeros((), i32),

@@ -92,6 +92,14 @@ class Fruitbot(BasicAbstractGame):
     def use_block_asset(self, type_):
         return type_ in (BARRIER, LOCKED_DOOR, PRESENT)
 
+    def entity_tile_ratio(self, s, e):
+        # fruitbot.cpp:85-92
+        return jnp.where(
+            e.type == BARRIER,
+            1.0,
+            jnp.where(e.type == LOCKED_DOOR, DOOR_ASPECT_RATIO, 0.0),
+        )
+
     def game_init_state(self):
         return FruitbotState(last_fire_time=jnp.zeros((), i32))
 

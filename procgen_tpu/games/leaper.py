@@ -130,6 +130,20 @@ class Leaper(BasicAbstractGame):
     def use_block_asset(self, type_):
         return type_ in (WATER, ROAD)
 
+    def entity_tile_ratio(self, s, e):
+        # leaper.cpp:67-76: finish line tiles horizontally
+        return jnp.where(e.type == FINISH_LINE, 1.0, 0.0)
+
+    def adjust_image_rect(self, img, x0, y0, w2, h2):
+        # leaper.cpp:242-248: frog sprite extends 0.275*h above the hitbox
+        p = img == PLAYER
+        return (
+            x0,
+            jnp.where(p, y0 - 0.275 * h2, y0),
+            w2,
+            jnp.where(p, 1.55 * h2, h2),
+        )
+
     def game_init_state(self):
         z = jnp.zeros((), i32)
         return LeaperState(

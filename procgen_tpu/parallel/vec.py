@@ -97,6 +97,7 @@ class JaxVecGame:
         start_level: int = 0,
         render_human: bool = False,
         reset_batch: Optional[int] = None,
+        seed_values=None,
     ):
         self.num = num
         self.game = game
@@ -116,8 +117,15 @@ class JaxVecGame:
 
         # per-env level_seed_rand_gen seeds from the master stream
         # (vecgame.cpp:349-363)
-        master = HostMT19937(rand_seed)
-        seeds = np.array([master.next_u32() for _ in range(num)], np.uint32)
+        if seed_values is not None:
+            # joint-game mode: the wrapper draws the master stream in global
+            # env order (vecgame.cpp:357-362) and hands each sub-batch its
+            # interleaved slice
+            seeds = np.asarray(seed_values, np.uint32)
+            assert seeds.shape == (num,)
+        else:
+            master = HostMT19937(rand_seed)
+            seeds = np.array([master.next_u32() for _ in range(num)], np.uint32)
 
         # Auto-reset sub-batch width: level-gen loops rewrite K-wide arrays
         # hundreds of times, so K stays small; steady state finishes ~N/500
@@ -186,6 +194,17 @@ class JaxVecGame:
             states, jax.tree_util.tree_map(lambda a: a.sharding, self.states)
         )
 
+    def get_state_blobs(self):
+        from ..utils import serialization
+
+        return serialization.states_to_bytes(self.get_state_pytree(), self.num)
+
+    def set_state_blobs(self, blobs) -> None:
+        from ..utils import serialization
+
+        tree = serialization.states_from_bytes(blobs, self.get_state_pytree())
+        self.set_state_pytree(tree)
+
     def set_latent_state(self, latents: list[dict]) -> None:
         """Apply per-env latent-state dicts (games with game_set_state —
         miner, miner.cpp:423-449)."""
@@ -200,3 +219,85 @@ class JaxVecGame:
         self.states = jax.jit(
             jax.vmap(lambda s, l: self.game.set_latent_state(s, l))
         )(self.states, batched)
+
+
+class JointJaxVecGame:
+    """Round-robin joint-game vec env (vecgame.cpp:343-363).
+
+    Env n runs games[n % k]; per-env level-seed generators are seeded from
+    one master stream drawn in global env order, exactly as a single-game
+    batch would be, so env n's level sequence is independent of k.  Exposes
+    the same surface as JaxVecGame by interleaving sub-batch results.
+    """
+
+    def __init__(
+        self,
+        num: int,
+        games: list,
+        rand_seed: int,
+        num_levels: int = 0,
+        start_level: int = 0,
+        render_human: bool = False,
+    ):
+        k = len(games)
+        assert num % k == 0, (
+            f"num_envs ({num}) must be divisible by the number of joint "
+            f"games ({k})"  # vecgame.cpp:347
+        )
+        self.num = num
+        self.k = k
+        master = HostMT19937(rand_seed)
+        seeds = np.array([master.next_u32() for _ in range(num)], np.uint32)
+        self.subs = [
+            JaxVecGame(
+                num=num // k,
+                game=g,
+                rand_seed=0,
+                num_levels=num_levels,
+                start_level=start_level,
+                render_human=render_human,
+                seed_values=seeds[gi::k],
+            )
+            for gi, g in enumerate(games)
+        ]
+
+    def _interleave(self, parts):
+        arrs = [np.asarray(p) for p in parts]
+        out = np.stack(arrs, axis=1)  # [num//k, k, ...]
+        return out.reshape((self.num,) + arrs[0].shape[1:])
+
+    def act(self, actions) -> None:
+        actions = np.asarray(actions)
+        for gi, sub in enumerate(self.subs):
+            sub.act(actions[gi :: self.k])
+
+    def observe(self):
+        results = [sub.observe() for sub in self.subs]
+        obs = self._interleave([r[0] for r in results])
+        rew = self._interleave([r[1] for r in results])
+        first = self._interleave([r[2] for r in results])
+        keys = set(results[0][3])
+        for r in results[1:]:
+            keys &= set(r[3])  # latent keys can differ per game
+        info = {}
+        for kk in keys:
+            vals = [np.asarray(r[3][kk]) for r in results]
+            if any(v.shape != vals[0].shape for v in vals[1:]):
+                continue  # per-game latents with differing shapes are dropped
+            info[kk] = self._interleave(vals)
+        return obs, rew, first, info
+
+    def set_latent_state(self, latents: list) -> None:
+        for gi, sub in enumerate(self.subs):
+            sub.set_latent_state(latents[gi :: self.k])
+
+    def get_state_blobs(self):
+        parts = [sub.get_state_blobs() for sub in self.subs]
+        out = [None] * self.num
+        for gi, blobs in enumerate(parts):
+            out[gi :: self.k] = blobs
+        return out
+
+    def set_state_blobs(self, blobs) -> None:
+        for gi, sub in enumerate(self.subs):
+            sub.set_state_blobs(list(blobs)[gi :: self.k])

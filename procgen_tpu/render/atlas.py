@@ -57,18 +57,36 @@ class GridAtlas:
     def __init__(self, game, tile_px: int):
         self.tile_px = tile_px
         entries = []  # (img_type, theme, pixels[s,s,4])
-        for type_ in range(MAX_ASSETS):
-            names = game.asset_names(type_)
-            for theme, name in enumerate(names):
-                raw = _load_image(name)
-                if raw is None:
-                    r, g, b = monochrome_color(type_ % 64, theme)
-                    pix = np.zeros((tile_px, tile_px, 4), np.uint8)
-                    pix[..., 0], pix[..., 1], pix[..., 2] = r, g, b
-                    pix[..., 3] = 255
-                else:
-                    pix = _resize(raw, tile_px, tile_px)
-                entries.append((type_, theme, pix))
+        if game.options.use_generated_assets:
+            # every drawable type gets one procedurally generated theme
+            # (basic-abstract-game.cpp:93-110: names stay empty, so the
+            # AssetGen path runs for all of them)
+            from .assetgen_host import bake_generated_asset
+
+            for type_ in range(MAX_ASSETS):
+                if not (
+                    game.asset_for_type(type_)
+                    or game.RESERVED_ASSETS.get(type_)
+                ):
+                    continue
+                raw = bake_generated_asset(
+                    int(game.fixed_asset_seed), type_,
+                    bool(game.use_block_asset(type_)),
+                )
+                entries.append((type_, 0, _resize(raw, tile_px, tile_px)))
+        else:
+            for type_ in range(MAX_ASSETS):
+                names = game.asset_names(type_)
+                for theme, name in enumerate(names):
+                    raw = _load_image(name)
+                    if raw is None:
+                        r, g, b = monochrome_color(type_ % 64, theme)
+                        pix = np.zeros((tile_px, tile_px, 4), np.uint8)
+                        pix[..., 0], pix[..., 1], pix[..., 2] = r, g, b
+                        pix[..., 3] = 255
+                    else:
+                        pix = _resize(raw, tile_px, tile_px)
+                    entries.append((type_, theme, pix))
 
         self.entries = [(t, th) for t, th, _ in entries]
         n = len(entries)
@@ -118,15 +136,20 @@ _CACHE: dict = {}
 
 
 def get_atlases(game, res: int):
-    """(GridAtlas, BackgroundAtlas) for a game at a given resolution; cached.
+    """(GridAtlas, BackgroundAtlas, entity GridAtlas) for a game at a given
+    resolution; cached.
 
-    Returns (None, None) when assets are unavailable (pure-color fallback).
+    Returns (None, None, None) when assets are unavailable (pure-color
+    fallback).
     """
-    key = (game.name, game.options.distribution_mode, res, id(type(game)))
+    key = (
+        game.name, game.options.distribution_mode, res, id(type(game)),
+        game.options.use_generated_assets and int(game.fixed_asset_seed),
+    )
     if key in _CACHE:
         return _CACHE[key]
-    if asset_tables.asset_root() is None:
-        _CACHE[key] = (None, None)
+    if asset_tables.asset_root() is None and not game.options.use_generated_assets:
+        _CACHE[key] = (None, None, None)
         return _CACHE[key]
 
     # use_monochrome_assets replaces only sprite/tile assets with colors;
@@ -134,6 +157,7 @@ def get_atlases(game, res: int):
     # basic-abstract-game.cpp:464-467 vs draw_background at cpp:988-1016).
     if game.options.use_monochrome_assets:
         grid_atlas = None
+        ent_atlas = None
     else:
         # cell pixel size: ceil(res / visible cells)
         if game.center_agent:
@@ -143,8 +167,14 @@ def get_atlases(game, res: int):
             vis = max(vis, game.min_visibility)
         tile_px = max(2, int(np.ceil(res / vis)))
         grid_atlas = GridAtlas(game, tile_px)
-    bg_atlas = BackgroundAtlas(game.background_names())
-    if not bg_atlas.loaded:
-        bg_atlas = None
-    _CACHE[key] = (grid_atlas, bg_atlas)
+        # entity sprites can span several world units on screen, so they are
+        # stored at a resolution tied to the output res, not the cell size
+        ent_atlas = GridAtlas(game, max(16, res // 2))
+    if game.uses_procgen_background:
+        bg_atlas = None  # sampled from state.bg_canvas instead
+    else:
+        bg_atlas = BackgroundAtlas(game.background_names())
+        if not bg_atlas.loaded:
+            bg_atlas = None
+    _CACHE[key] = (grid_atlas, bg_atlas, ent_atlas)
     return _CACHE[key]

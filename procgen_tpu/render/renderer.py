@@ -75,16 +75,27 @@ def render_obs(game, s, res: int = 64):
 
     from .atlas import get_atlases
 
-    grid_atlas, bg_atlas = get_atlases(game, res)
+    grid_atlas, bg_atlas, ent_atlas = get_atlases(game, res)
 
     # background image (cpp:988-1016) via separable one-hot matmuls
-    if bg_atlas is not None and game.options.use_backgrounds:
-        custom = game.paint_background(s, res, sx, sy, bg_atlas)
-        if custom is not None:
-            obs = custom
-        else:
+    if game.options.use_backgrounds:
+        if bg_atlas is not None:
+            custom = game.paint_background(s, res, sx, sy, bg_atlas)
+            if custom is not None:
+                obs = custom
+            else:
+                pix = jnp.asarray(bg_atlas.pixels)
+                bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
+                img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False)
+                bg_ar = jnp.asarray(bg_atlas.aspects)[bi]
+                obs = _paint_background(
+                    game, s, obs, sx, sy, res, unit, vis, img, bg_ar
+                )
+        elif game.uses_procgen_background and s.bg_canvas is not None:
+            # per-level procedural canvas (square, like the reference's
+            # 500x500 QImage: aspect ratio 1)
             obs = _paint_background(
-                game, s, obs, sx, sy, res, unit, vis, bg_atlas
+                game, s, obs, sx, sy, res, unit, vis, s.bg_canvas, f32(1.0)
             )
 
     draw_mask = game.should_draw_entity_mask(s)
@@ -133,6 +144,17 @@ def render_obs(game, s, res: int = 64):
         return jnp.where((winner >= 0)[:, :, None], col, obs)
 
     def paint_z(obs, zlevel):
+        if ent_atlas is not None:
+            obs = _paint_pool_sprites(
+                game, s, obs, s.ents, zlevel, draw_mask, ent_atlas, res,
+                unit, vis, x_off, y_off, sx, sy,
+            )
+            if game.DECOR_CAP:
+                obs = _paint_pool_sprites(
+                    game, s, obs, s.decor, zlevel, None, ent_atlas, res,
+                    unit, vis, x_off, y_off, sx, sy,
+                )
+            return obs
         obs = paint_pool(obs, s.ents, zlevel, draw_mask)
         if game.DECOR_CAP:
             obs = paint_pool(obs, s.decor, zlevel, None)
@@ -200,15 +222,15 @@ def render_obs(game, s, res: int = 64):
     return obs.astype(u8)
 
 
-def _paint_background(game, s, obs, sx, sy, res, unit, vis, bg_atlas):
-    """draw_background (cpp:988-1016) as separable one-hot matmuls."""
+def _paint_background(game, s, obs, sx, sy, res, unit, vis, img, bg_ar):
+    """draw_background (cpp:988-1016) as separable one-hot matmuls.
+
+    ``img`` is the selected background image [BH, BW, 3] (atlas row or the
+    per-level procedural canvas) with aspect ratio ``bg_ar``.
+    """
     bf16 = jnp.bfloat16
-    pix = jnp.asarray(bg_atlas.pixels)  # [n, BH, BW, 3]
-    aspects = jnp.asarray(bg_atlas.aspects)
-    BH, BW = bg_atlas.BH, bg_atlas.BW
-    bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
-    img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False).astype(bf16)
-    bg_ar = aspects[bi]
+    BH, BW = img.shape[0], img.shape[1]
+    img = img.astype(bf16)
 
     W = s.main_width.astype(f32)
     H = s.main_height.astype(f32)
@@ -255,6 +277,133 @@ def _paint_background(game, s, obs, sx, sy, res, unit, vis, bg_atlas):
         "qw,pwc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
     )
     return jnp.round(samp).astype(i32)
+
+
+def _paint_pool_sprites(game, s, obs, pool, zlevel, mask, atlas, res, unit,
+                        vis, x_off, y_off, sx, sy):
+    """Entity sprite pass (draw_entity, cpp:1061-1067) without gathers.
+
+    Per slot, in C++ vector order (QPainter sequential over-compositing):
+    the sprite row is selected from the atlas, reflected / quarter-turn
+    rotated by index remapping (both keep the sampling separable), sampled
+    onto the entity's screen rect with two one-hot matmuls, and
+    alpha-blended over the canvas.  Arbitrary rotations (caveflyer's ship)
+    snap to the nearest quarter turn this round — the reference renders
+    them smoothly (draw_image, cpp:908-916).
+
+    Entities whose image has no atlas entry (img >= USE_ASSET_THRESHOLD)
+    fall back to the color rect exactly like draw_grid_obj (cpp:893-894),
+    ignoring entity alpha as QPainter opacity is only set on the sprite
+    branch (cpp:903-906).
+    """
+    bf16 = jnp.bfloat16
+    e = pool
+    cap = e.cap
+    S = atlas.tile_px
+    rows = jnp.asarray(atlas.rows)  # [n+1, S, S, 4] uint8
+
+    img_all = game.image_for_type(s, e.image_type)
+    live_all = e.active & (e.render_z == zlevel) & (img_all >= 0) & (
+        img_all != SPACE
+    )
+    if mask is not None:
+        live_all &= mask
+    row_all = atlas.row_for(img_all, e.image_theme)  # [cap]
+    tile_ratio_all = game.entity_tile_ratio(s, e)  # [cap]
+
+    # screen rects (get_object_rect, cpp:820-826), y down
+    x0_w = (e.x - e.rx) * unit - x_off
+    y0_w = (vis - (e.y + e.ry)) * unit + y_off
+    w2_w = 2 * e.rx * unit
+    h2_w = 2 * e.ry * unit
+    x0_a = res * (e.x - e.rx)
+    y0_a = res * (e.y + e.ry)
+    w2_a = 2 * res * e.rx
+    h2_a = 2 * res * e.ry
+    x0_all = jnp.where(e.use_abs_coords, x0_a, x0_w)
+    y0_all = jnp.where(e.use_abs_coords, y0_a, y0_w)
+    w2_all = jnp.where(e.use_abs_coords, w2_a, w2_w)
+    h2_all = jnp.where(e.use_abs_coords, h2_a, h2_w)
+    x0_all, y0_all, w2_all, h2_all = game.adjust_image_rect(
+        img_all, x0_all, y0_all, w2_all, h2_all
+    )
+
+    # fallback color (draw_grid_obj) for types with no sprite
+    fr, fg, fb = game.color_for_type(img_all, e.image_theme)
+    fallback_rgb = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(fr, f32), (cap,)),
+            jnp.broadcast_to(jnp.asarray(fg, f32), (cap,)),
+            jnp.broadcast_to(jnp.asarray(fb, f32), (cap,)),
+        ],
+        axis=-1,
+    )
+    is_fallback = row_all == atlas.transparent_row
+
+    arange_S = jnp.arange(S)
+
+    def body(i, canvas):
+        x0, y0 = x0_all[i], y0_all[i]
+        w2 = jnp.maximum(w2_all[i], 1e-6)
+        h2 = jnp.maximum(h2_all[i], 1e-6)
+
+        u = (sx - x0) / w2  # [res] along screen x
+        v = (sy - y0) / h2  # [res] along screen y
+        xvalid = (u >= 0) & (u < 1)
+        yvalid = (v >= 0) & (v < 1)
+
+        # tiling within the rect (tile_image, cpp:849-878)
+        tr = tile_ratio_all[i]
+        nt_h = jnp.maximum((w2 / (h2 * jnp.maximum(tr, 1e-6))).astype(i32), 1)
+        nt_v = jnp.maximum(
+            (h2 / (w2 * jnp.maximum(-tr, 1e-6))).astype(i32), 1
+        )
+        ut = u * nt_h.astype(f32)
+        vt = v * nt_v.astype(f32)
+        u_ = jnp.where(tr > 0, ut - jnp.floor(ut), u)
+        v_ = jnp.where(tr < 0, vt - jnp.floor(vt), v)
+
+        ui = jnp.clip((u_ * S).astype(i32), 0, S - 1)
+        vi = jnp.clip((v_ * S).astype(i32), 0, S - 1)
+
+        # quarter-turn rotation as index remap (Qt rotate = clockwise,
+        # draw_image cpp:908-916); q = nearest quarter
+        rot = e.rotation[i]
+        q = jnp.round(rot * (2.0 / jnp.pi)).astype(i32) % 4
+        use_t = (q == 1) | (q == 3)
+        rowflip = (q == 2) | (q == 3)
+        colflip = (q == 1) | (q == 2)
+
+        img = jax.lax.dynamic_index_in_dim(rows, row_all[i], keepdims=False)
+        img = jnp.where(e.is_reflected[i], img[:, ::-1], img)
+        img = jnp.where(use_t, jnp.swapaxes(img, 0, 1), img)
+        imgf = img.astype(bf16)
+
+        row_idx = jnp.where(rowflip, S - 1 - vi, vi)  # from screen y
+        col_idx = jnp.where(colflip, S - 1 - ui, ui)  # from screen x
+
+        R = ((row_idx[:, None] == arange_S[None, :]) & yvalid[:, None]).astype(
+            bf16
+        )
+        C = ((col_idx[:, None] == arange_S[None, :]) & xvalid[:, None]).astype(
+            bf16
+        )
+        e1 = jnp.einsum("ph,hwc->pwc", R, imgf,
+                        preferred_element_type=jnp.float32)
+        samp = jnp.einsum("qw,pwc->pqc", C, e1.astype(bf16),
+                          preferred_element_type=jnp.float32)  # [y, x, 4]
+
+        cover = (yvalid[:, None] & xvalid[None, :]).astype(f32)
+        fb = is_fallback[i]
+        a = jnp.where(
+            fb, cover, samp[..., 3] * (1.0 / 255.0) * e.alpha[i] * cover
+        )
+        rgb = jnp.where(fb, fallback_rgb[i][None, None, :], samp[..., :3])
+        a = jnp.where(live_all[i], a, 0.0)[..., None]
+        return rgb * a + canvas * (1.0 - a)
+
+    canvas = jax.lax.fori_loop(0, e.count, body, obs.astype(f32))
+    return jnp.round(canvas).astype(i32)
 
 
 def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
