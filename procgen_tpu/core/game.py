@@ -392,9 +392,25 @@ class BasicAbstractGame:
         """
         from ..render.assets import monochrome_color
 
-        if self.options.restrict_themes:
-            theme = jnp.zeros_like(jnp.asarray(theme, i32))
+        theme = self.mask_theme(type_, theme)
         return monochrome_color(jnp.asarray(type_, i32) % 64, theme)
+
+    def should_preserve_type_themes(self, type_):
+        """cpp:454-456 (traced over type): themes exempt from
+        restrict_themes masking (heist keys/doors, leaper player, plunder
+        ships)."""
+        return jnp.zeros(jnp.shape(type_), bool)
+
+    def mask_theme(self, type_, theme):
+        """mask_theme_if_necessary (cpp:458-462), applied at every asset /
+        color lookup (the stored image_theme keeps its drawn value)."""
+        if not self.options.restrict_themes:
+            return theme
+        theme = jnp.asarray(theme, i32)
+        return jnp.where(
+            self.should_preserve_type_themes(type_), theme,
+            jnp.zeros_like(theme),
+        )
 
     def image_for_type_static(self) -> dict:
         """Optional static remap table; dynamic image_for_type handled in render."""

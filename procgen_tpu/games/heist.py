@@ -107,6 +107,10 @@ class Heist(BasicAbstractGame):
     def use_block_asset(self, type_):
         return type_ in (WALL_OBJ, LOCKED_DOOR)
 
+    def should_preserve_type_themes(self, type_):
+        # heist.cpp:40-42
+        return (type_ == KEY) | (type_ == LOCKED_DOOR)
+
     def game_init_state(self):
         return HeistState(
             num_keys=jnp.zeros((), i32), has_keys=jnp.zeros((3,), bool)

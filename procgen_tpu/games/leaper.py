@@ -130,6 +130,10 @@ class Leaper(BasicAbstractGame):
     def use_block_asset(self, type_):
         return type_ in (WATER, ROAD)
 
+    def should_preserve_type_themes(self, type_):
+        # leaper.cpp:91-93
+        return type_ == PLAYER
+
     def entity_tile_ratio(self, s, e):
         # leaper.cpp:67-76: finish line tiles horizontally
         return jnp.where(e.type == FINISH_LINE, 1.0, 0.0)

@@ -71,6 +71,10 @@ class Plunder(BasicAbstractGame):
 
         return WATER_SURFACE_BACKGROUNDS
 
+    def should_preserve_type_themes(self, type_):
+        # plunder.cpp:83-85
+        return type_ == SHIP
+
     def asset_for_type(self, type_):
         # plunder.cpp:50-64
         if type_ == SHIP:

@@ -143,17 +143,33 @@ def render_obs(game, s, res: int = 64):
         col = (onehot @ colors).reshape(res, res, 3).astype(i32)
         return jnp.where((winner >= 0)[:, :, None], col, obs)
 
+    # sprite mode: sample every slot ONCE into per-z premultiplied canvases
+    # (over-compositing is associative, so canvas-then-apply equals painting
+    # each entity directly in order), then the z passes are cheap applies
+    if ent_atlas is not None:
+        ents_canv = _sprite_canvases(
+            game, s, s.ents, draw_mask, ent_atlas, res, unit, vis, x_off,
+            y_off, sx, sy,
+        )
+        decor_canv = (
+            _sprite_canvases(
+                game, s, s.decor, None, ent_atlas, res, unit, vis, x_off,
+                y_off, sx, sy,
+            )
+            if game.DECOR_CAP
+            else None
+        )
+
+    def _apply_canvas(obs, canv):
+        a = canv[..., 3:]
+        return jnp.round(canv[..., :3] + obs.astype(f32) * (1 - a)).astype(i32)
+
     def paint_z(obs, zlevel):
         if ent_atlas is not None:
-            obs = _paint_pool_sprites(
-                game, s, obs, s.ents, zlevel, draw_mask, ent_atlas, res,
-                unit, vis, x_off, y_off, sx, sy,
-            )
-            if game.DECOR_CAP:
-                obs = _paint_pool_sprites(
-                    game, s, obs, s.decor, zlevel, None, ent_atlas, res,
-                    unit, vis, x_off, y_off, sx, sy,
-                )
+            zi = zlevel + 1
+            obs = _apply_canvas(obs, ents_canv[zi])
+            if decor_canv is not None:
+                obs = _apply_canvas(obs, decor_canv[zi])
             return obs
         obs = paint_pool(obs, s.ents, zlevel, draw_mask)
         if game.DECOR_CAP:
@@ -279,17 +295,18 @@ def _paint_background(game, s, obs, sx, sy, res, unit, vis, img, bg_ar):
     return jnp.round(samp).astype(i32)
 
 
-def _paint_pool_sprites(game, s, obs, pool, zlevel, mask, atlas, res, unit,
-                        vis, x_off, y_off, sx, sy):
+def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
+                     y_off, sx, sy):
     """Entity sprite pass (draw_entity, cpp:1061-1067) without gathers.
 
     Per slot, in C++ vector order (QPainter sequential over-compositing):
     the sprite row is selected from the atlas, reflected / quarter-turn
     rotated by index remapping (both keep the sampling separable), sampled
     onto the entity's screen rect with two one-hot matmuls, and
-    alpha-blended over the canvas.  Arbitrary rotations (caveflyer's ship)
-    snap to the nearest quarter turn this round — the reference renders
-    them smoothly (draw_image, cpp:908-916).
+    over-composited into the premultiplied canvas of its render_z.  Returns
+    [3, res, res, 4] canvases for z = -1, 0, 1.  Arbitrary rotations
+    (caveflyer's ship) snap to the nearest quarter turn this round — the
+    reference renders them smoothly (draw_image, cpp:908-916).
 
     Entities whose image has no atlas entry (img >= USE_ASSET_THRESHOLD)
     fall back to the color rect exactly like draw_grid_obj (cpp:893-894),
@@ -303,12 +320,10 @@ def _paint_pool_sprites(game, s, obs, pool, zlevel, mask, atlas, res, unit,
     rows = jnp.asarray(atlas.rows)  # [n+1, S, S, 4] uint8
 
     img_all = game.image_for_type(s, e.image_type)
-    live_all = e.active & (e.render_z == zlevel) & (img_all >= 0) & (
-        img_all != SPACE
-    )
+    live_all = e.active & (img_all >= 0) & (img_all != SPACE)
     if mask is not None:
         live_all &= mask
-    row_all = atlas.row_for(img_all, e.image_theme)  # [cap]
+    row_all = atlas.row_for(img_all, game.mask_theme(img_all, e.image_theme))  # [cap]
     tile_ratio_all = game.entity_tile_ratio(s, e)  # [cap]
 
     # screen rects (get_object_rect, cpp:820-826), y down
@@ -341,8 +356,9 @@ def _paint_pool_sprites(game, s, obs, pool, zlevel, mask, atlas, res, unit,
     is_fallback = row_all == atlas.transparent_row
 
     arange_S = jnp.arange(S)
+    zsel = jnp.arange(3)  # canvases for render_z in {-1, 0, 1}
 
-    def body(i, canvas):
+    def body(i, canv):
         x0, y0 = x0_all[i], y0_all[i]
         w2 = jnp.maximum(w2_all[i], 1e-6)
         h2 = jnp.maximum(h2_all[i], 1e-6)
@@ -399,11 +415,18 @@ def _paint_pool_sprites(game, s, obs, pool, zlevel, mask, atlas, res, unit,
             fb, cover, samp[..., 3] * (1.0 / 255.0) * e.alpha[i] * cover
         )
         rgb = jnp.where(fb, fallback_rgb[i][None, None, :], samp[..., :3])
-        a = jnp.where(live_all[i], a, 0.0)[..., None]
-        return rgb * a + canvas * (1.0 - a)
+        a = jnp.where(live_all[i], a, 0.0)
 
-    canvas = jax.lax.fori_loop(0, e.count, body, obs.astype(f32))
-    return jnp.round(canvas).astype(i32)
+        # over-composite into this slot's render_z canvas only
+        zi = jnp.clip(e.render_z[i] + 1, 0, 2)
+        az = (a[None] * (zsel == zi)[:, None, None])[..., None]  # [3,r,r,1]
+        new_rgb = rgb[None] * az + canv[..., :3] * (1 - az)
+        new_a = az + canv[..., 3:] * (1 - az)
+        return jnp.concatenate([new_rgb, new_a], axis=-1)
+
+    return jax.lax.fori_loop(
+        0, e.count, body, jnp.zeros((3, res, res, 4), f32)
+    )
 
 
 def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
@@ -449,7 +472,7 @@ def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
     img = game.image_for_type(s, gt)
     theme = game.theme_for_grid_obj(s, gt)
     img = jnp.where(gt == INVALID_OBJ, -1, img)
-    row = atlas.row_for(img, theme)
+    row = atlas.row_for(img, game.mask_theme(img, theme))
 
     oh = (row.reshape(-1)[:, None] == jnp.arange(n1)[None, :]).astype(bf16)
     canvas = jnp.einsum(
