@@ -417,16 +417,25 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
         rgb = jnp.where(fb, fallback_rgb[i][None, None, :], samp[..., :3])
         a = jnp.where(live_all[i], a, 0.0)
 
-        # over-composite into this slot's render_z canvas only
+        # over-composite into this slot's render_z canvas only.  NOTE: a
+        # dynamic_update_index_in_dim here lowers to a batched scatter under
+        # vmap (measured 7s/frame at 8192 envs); the masked-where form stays
+        # a dense select.
         zi = jnp.clip(e.render_z[i] + 1, 0, 2)
         az = (a[None] * (zsel == zi)[:, None, None])[..., None]  # [3,r,r,1]
         new_rgb = rgb[None] * az + canv[..., :3] * (1 - az)
         new_a = az + canv[..., 3:] * (1 - az)
         return jnp.concatenate([new_rgb, new_a], axis=-1)
 
-    return jax.lax.fori_loop(
-        0, e.count, body, jnp.zeros((3, res, res, 4), f32)
-    )
+    init = jnp.zeros((3, res, res, 4), f32)
+    if cap <= 16:
+        # static unroll: XLA fuses the whole pool pass (a traced-count
+        # while_loop costs ~15ms/iteration at 8192 envs from carry traffic)
+        canv = init
+        for i in range(cap):
+            canv = body(i, canv)
+        return canv
+    return jax.lax.fori_loop(0, e.count, body, init)
 
 
 def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
