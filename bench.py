@@ -35,21 +35,21 @@ def main():
     init_jit = jax.jit(init)
     step_jit = jax.jit(step, donate_argnums=(0,))
 
-    states = init_jit(seeds)
-    jax.block_until_ready(states.grid)
+    carry = init_jit(seeds)
+    jax.block_until_ready(carry[0].grid)
 
     rng = np.random.RandomState(0)
     actions = jnp.asarray(rng.randint(0, 15, size=(NUM_STEPS, NUM_ENVS)), jnp.int32)
 
     # warmup / compile
-    states, obs, rew, done = step_jit(states, actions[0])
+    carry, obs, rew, done = step_jit(carry, actions[0])
     jax.block_until_ready(obs)
 
     if PROFILE_DIR:
         jax.profiler.start_trace(PROFILE_DIR)
     t0 = time.perf_counter()
     for t in range(1, NUM_STEPS):
-        states, obs, rew, done = step_jit(states, actions[t])
+        carry, obs, rew, done = step_jit(carry, actions[t])
     jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
     if PROFILE_DIR:

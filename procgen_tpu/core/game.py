@@ -120,6 +120,11 @@ class BasicAbstractGame:
     # other's positions (no entity-entity block/reflect among them) — their
     # sub-stepped moves commute and run vmapped instead of sequentially
     DECOR_CAP: int = 0  # capacity of the decorative pool
+    # static render_z levels each pool can contain (agent is always z=1,
+    # cpp game_reset; miner's exit is z=-1).  The sprite pass builds one
+    # canvas per level, so keeping this tight cuts render HBM traffic.
+    ENT_Z_LEVELS: tuple = (0, 1)
+    DECOR_Z_LEVELS: tuple = (0,)  # trails/explosions spawn at default z=0
     ANY_COLLIDES_WITH_ENTITIES: bool = False  # O(E^2) dispatch needed
     DISPATCH_VECTORIZED: bool = False  # all collision handlers commute: use
     # the phased vectorised dispatch (handle_agent_collision_vec + optional

@@ -70,6 +70,7 @@ class MinerState:
 class Miner(BasicAbstractGame):
     name = "miner"
     ENT_CAP = 2  # agent + exit
+    ENT_Z_LEVELS = (-1, 0, 1)  # exit renders under the grid (render_z=-1)
     DISPATCH_VECTORIZED = True  # handlers commute (exit bonus, enemy death)
     MAX_STEP_DRAWS = 4
     MAX_SUB_STEPS = 1  # grid_step

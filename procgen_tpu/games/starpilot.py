@@ -161,11 +161,10 @@ class Starpilot(BasicAbstractGame):
         C = (
             (col_idx[:, None] == jnp.arange(BW)[None, :]) & in_x[:, None]
         ).astype(bf16)
-        e1 = jnp.einsum("ph,hwc->pwc", R, img, preferred_element_type=jnp.float32)
-        samp = jnp.einsum(
-            "qw,pwc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
-        )
-        return jnp.round(samp).astype(jnp.int32)
+        # one-hot picks of integers <= 255: bf16 accumulation is exact
+        e1 = jnp.einsum("ph,hwc->pwc", R, img, preferred_element_type=bf16)
+        samp = jnp.einsum("qw,pwc->pqc", C, e1, preferred_element_type=bf16)
+        return samp.astype(jnp.int32)
 
     def asset_for_type(self, type_):
         # starpilot.cpp:61-109

@@ -81,6 +81,68 @@ def reset_pending(game: BasicAbstractGame, states, pending, k: int):
     return states
 
 
+# Fields whose post-reset value must come from the FINISHING step's state,
+# not from the precomputed next-level state: Game::reset keeps step_data
+# (reward/done/level_complete) on the new-seed branch so the final reward
+# survives into observe (game.cpp:117-126), and these episode-crossing
+# bookkeeping fields are written during the episode and never touched by
+# reset (prev seed/metrics HUD/facing, game.cpp & cpp ctor fields).
+_KEEP_LIVE_ON_RESET = (
+    "reward",
+    "done",
+    "level_complete",
+    "episode_done",
+    "prev_level_seed",
+    "last_reward",
+    "last_reward_timer",
+    "last_move_action",
+    "move_action",
+    "special_action",
+    "action_vx",
+    "action_vy",
+    "action_vrot",
+)
+
+
+def splice_pool(pool, states):
+    """The batched post-reset state an env gets when consuming its
+    precomputed next-level slot: everything from the pool entry except the
+    episode-crossing fields above, which come from the live state."""
+    return pool.replace(
+        **{f: getattr(states, f) for f in _KEEP_LIVE_ON_RESET}
+    )
+
+
+def replenish_pool(game: BasicAbstractGame, states, pool, valid, k: int):
+    """Rebuild next-level pool entries for every invalid slot, K at a time.
+
+    ``env_reset`` is a pure function of the live state's
+    ``level_seed_rand_gen`` (one u32 draw -> new level seed -> freshly
+    seeded ``rand_gen`` -> full ``game_reset``), so the next episode's
+    post-reset state can be computed ahead of time and consumed with a
+    cheap select in ``step`` — the serial level-generation depth is paid
+    once per replenish call instead of once per step.
+    """
+
+    def cond(carry):
+        _, valid = carry
+        return ~jnp.all(valid)
+
+    def body(carry):
+        pool, valid = carry
+        idx = jnp.argsort(valid, stable=True)[:k]  # invalid slots first
+        sel = ~valid[idx]
+        live_sub = _tree_gather(states, idx)
+        new_sub = jax.vmap(lambda s: lifecycle.env_reset(game, s))(live_sub)
+        cur_sub = _tree_gather(pool, idx)
+        pool = _tree_scatter(pool, idx, _tree_select(sel, new_sub, cur_sub))
+        valid = valid.at[idx].set(jnp.ones_like(sel))
+        return pool, valid
+
+    pool, valid = jax.lax.while_loop(cond, body, (pool, valid))
+    return pool, valid
+
+
 class JaxVecGame:
     """N lockstep envs of one game as jitted device programs.
 
@@ -133,11 +195,31 @@ class JaxVecGame:
         # when a burst exceeds K.
         self._k = reset_batch or max(1, min(num, 64))
 
+        # Next-level pool: precomputed post-reset states, consumed by a
+        # cheap select when an env finishes and replenished in a batch
+        # every REPLENISH_EVERY steps — amortizing the serial level-gen
+        # depth across steps.  Sequential-levels mode resets in-step (the
+        # next seed depends on how the episode ended, game.cpp:117-126).
+        self._use_pool = (
+            not game.options.use_sequential_levels
+            and os.environ.get("PROCGEN_TPU_RESET_POOL", "1") != "0"
+        )
+        self._replenish_every = int(
+            os.environ.get("PROCGEN_TPU_REPLENISH_EVERY", "8")
+        )
+        m = self._replenish_every
+
         @jax.jit
         def init_fn(seeds):
             states = jax.vmap(lambda sd: lifecycle.initial_state(game, sd))(seeds)
             states = jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
             return states
+
+        @jax.jit
+        def pool_fn(states):
+            # full-width next-level precompute (init / state-restore time)
+            pool = jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
+            return pool, jnp.ones((num,), bool)
 
         @jax.jit
         def observe_fn(states):
@@ -153,11 +235,43 @@ class JaxVecGame:
             states = reset_pending(game, states, needs_reset, self._k)
             return states
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_pool_fn(carry, actions):
+            states, pool, valid, t = carry
+            states, needs_reset = jax.vmap(
+                lambda s, a: lifecycle.env_step(game, s, a)
+            )(states, actions)
+            use = needs_reset & valid
+            states = _tree_select(use, splice_pool(pool, states), states)
+            valid = valid & ~needs_reset
+            # pool misses (an env finished twice between replenishes)
+            states = reset_pending(game, states, needs_reset & ~use, self._k)
+
+            def rep(args):
+                states, pool, valid = args
+                pool, valid = replenish_pool(game, states, pool, valid, self._k)
+                return pool, valid
+
+            pool, valid = jax.lax.cond(
+                (t % m) == (m - 1),
+                rep,
+                lambda args: (args[1], args[2]),
+                (states, pool, valid),
+            )
+            return states, pool, valid, t + 1
+
         self._init_fn = init_fn
+        self._pool_fn = pool_fn
         self._observe_fn = observe_fn
         self._step_fn = step_fn
+        self._step_pool_fn = step_pool_fn
 
         self.states = init_fn(jnp.asarray(seeds))
+        if self._use_pool:
+            self._pool, self._pool_valid = pool_fn(self.states)
+        else:
+            self._pool = self._pool_valid = None
+        self._t = jnp.zeros((), i32)
 
     def _info_impl(self, states):
         info = {
@@ -178,7 +292,15 @@ class JaxVecGame:
     def act(self, actions) -> None:
         actions = jnp.asarray(actions, i32)
         assert actions.shape == (self.num,)
-        self.states = self._step_fn(self.states, actions)
+        if self._use_pool:
+            self.states, self._pool, self._pool_valid, self._t = (
+                self._step_pool_fn(
+                    (self.states, self._pool, self._pool_valid, self._t),
+                    actions,
+                )
+            )
+        else:
+            self.states = self._step_fn(self.states, actions)
 
     def observe(self):
         obs, rew, first, info = self._observe_fn(self.states)
@@ -193,6 +315,9 @@ class JaxVecGame:
         self.states = jax.device_put(
             states, jax.tree_util.tree_map(lambda a: a.sharding, self.states)
         )
+        if self._use_pool:
+            # the pool is derived state: rebuild from the restored batch
+            self._pool, self._pool_valid = self._pool_fn(self.states)
 
     def get_state_blobs(self):
         from ..utils import serialization

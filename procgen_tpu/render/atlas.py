@@ -114,11 +114,13 @@ class GridAtlas:
 
 
 class BackgroundAtlas:
-    """Background group images at fixed resolution + original aspects."""
+    """Background group images + original aspects, pre-scaled to the output
+    resolution (backgrounds at most fill the res x res frame, so storing
+    more rows than ``res`` only adds sampling matmul work)."""
 
-    BH, BW = 96, 160
-
-    def __init__(self, names: list[str]):
+    def __init__(self, names: list[str], res: int = 64):
+        self.BH = res
+        self.BW = res * 5 // 3  # typical reference background aspect ~1.66
         n = max(len(names), 1)
         self.pixels = np.zeros((n, self.BH, self.BW, 3), np.uint8)
         self.aspects = np.ones((n,), np.float32)
@@ -173,7 +175,7 @@ def get_atlases(game, res: int):
     if game.uses_procgen_background:
         bg_atlas = None  # sampled from state.bg_canvas instead
     else:
-        bg_atlas = BackgroundAtlas(game.background_names())
+        bg_atlas = BackgroundAtlas(game.background_names(), res)
         if not bg_atlas.loaded:
             bg_atlas = None
     _CACHE[key] = (grid_atlas, bg_atlas, ent_atlas)

@@ -145,34 +145,42 @@ def render_obs(game, s, res: int = 64):
 
     # sprite mode: sample every slot ONCE into per-z premultiplied canvases
     # (over-compositing is associative, so canvas-then-apply equals painting
-    # each entity directly in order), then the z passes are cheap applies
+    # each entity directly in order), then the z passes are cheap applies.
+    # Canvases exist only for the z levels the game statically uses
+    # (ENT_Z_LEVELS / DECOR_Z_LEVELS) — HBM traffic scales with that count.
     if ent_atlas is not None:
         ents_canv = _sprite_canvases(
             game, s, s.ents, draw_mask, ent_atlas, res, unit, vis, x_off,
-            y_off, sx, sy,
+            y_off, sx, sy, game.ENT_Z_LEVELS,
         )
         decor_canv = (
             _sprite_canvases(
                 game, s, s.decor, None, ent_atlas, res, unit, vis, x_off,
-                y_off, sx, sy,
+                y_off, sx, sy, game.DECOR_Z_LEVELS,
             )
             if game.DECOR_CAP
             else None
         )
 
     def _apply_canvas(obs, canv):
+        canv = canv.astype(f32)
         a = canv[..., 3:]
         return jnp.round(canv[..., :3] + obs.astype(f32) * (1 - a)).astype(i32)
 
     def paint_z(obs, zlevel):
         if ent_atlas is not None:
-            zi = zlevel + 1
-            obs = _apply_canvas(obs, ents_canv[zi])
-            if decor_canv is not None:
-                obs = _apply_canvas(obs, decor_canv[zi])
+            if zlevel in game.ENT_Z_LEVELS:
+                obs = _apply_canvas(
+                    obs, ents_canv[game.ENT_Z_LEVELS.index(zlevel)]
+                )
+            if decor_canv is not None and zlevel in game.DECOR_Z_LEVELS:
+                obs = _apply_canvas(
+                    obs, decor_canv[game.DECOR_Z_LEVELS.index(zlevel)]
+                )
             return obs
-        obs = paint_pool(obs, s.ents, zlevel, draw_mask)
-        if game.DECOR_CAP:
+        if zlevel in game.ENT_Z_LEVELS:
+            obs = paint_pool(obs, s.ents, zlevel, draw_mask)
+        if game.DECOR_CAP and zlevel in game.DECOR_Z_LEVELS:
             obs = paint_pool(obs, s.decor, zlevel, None)
         return obs
 
@@ -286,17 +294,16 @@ def _paint_background(game, s, obs, sx, sy, res, unit, vis, img, bg_ar):
         in_y = (sy >= mr_y) & (sy < mr_y + mr_h)
         in_x = (sx >= bgr_x) & (sx < bgr_x + bgr_w)
 
+    # one-hot picks of integers <= 255: bf16 accumulation is exact
     R = ((row_idx[:, None] == jnp.arange(BH)[None, :]) & in_y[:, None]).astype(bf16)
     C = ((col_idx[:, None] == jnp.arange(BW)[None, :]) & in_x[:, None]).astype(bf16)
-    e1 = jnp.einsum("ph,hwc->pwc", R, img, preferred_element_type=jnp.float32)
-    samp = jnp.einsum(
-        "qw,pwc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
-    )
-    return jnp.round(samp).astype(i32)
+    e1 = jnp.einsum("ph,hwc->pwc", R, img, preferred_element_type=bf16)
+    samp = jnp.einsum("qw,pwc->pqc", C, e1, preferred_element_type=bf16)
+    return samp.astype(i32)
 
 
 def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
-                     y_off, sx, sy):
+                     y_off, sx, sy, z_levels=(-1, 0, 1)):
     """Entity sprite pass (draw_entity, cpp:1061-1067) without gathers.
 
     Per slot, in C++ vector order (QPainter sequential over-compositing):
@@ -304,9 +311,15 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
     rotated by index remapping (both keep the sampling separable), sampled
     onto the entity's screen rect with two one-hot matmuls, and
     over-composited into the premultiplied canvas of its render_z.  Returns
-    [3, res, res, 4] canvases for z = -1, 0, 1.  Arbitrary rotations
-    (caveflyer's ship) snap to the nearest quarter turn this round — the
-    reference renders them smoothly (draw_image, cpp:908-916).
+    [len(z_levels), res, res, 4] canvases, one per z in ``z_levels`` (the
+    game's static set — agent is always z=1, so most games use (0, 1)).
+    Arbitrary rotations (caveflyer's ship) snap to the nearest quarter turn
+    this round — the reference renders them smoothly (draw_image,
+    cpp:908-916).
+
+    Canvases are bf16: every sampled texel is an exact integer <= 255
+    (one-hot matmuls have exactly one nonzero term), so rounding only
+    happens in genuinely-blended pixels, bounded by ~1/256 relative.
 
     Entities whose image has no atlas entry (img >= USE_ASSET_THRESHOLD)
     fall back to the color rect exactly like draw_grid_obj (cpp:893-894),
@@ -356,7 +369,8 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
     is_fallback = row_all == atlas.transparent_row
 
     arange_S = jnp.arange(S)
-    zsel = jnp.arange(3)  # canvases for render_z in {-1, 0, 1}
+    nz = len(z_levels)
+    zsel = jnp.asarray(z_levels, i32)  # canvas index -> render_z value
 
     def body(i, canv):
         x0, y0 = x0_all[i], y0_all[i]
@@ -404,10 +418,12 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
         C = ((col_idx[:, None] == arange_S[None, :]) & xvalid[:, None]).astype(
             bf16
         )
+        # one-hot picks: every output element has exactly one nonzero term,
+        # an integer <= 255, so bf16 accumulation is exact
         e1 = jnp.einsum("ph,hwc->pwc", R, imgf,
-                        preferred_element_type=jnp.float32)
-        samp = jnp.einsum("qw,pwc->pqc", C, e1.astype(bf16),
-                          preferred_element_type=jnp.float32)  # [y, x, 4]
+                        preferred_element_type=bf16)
+        samp = jnp.einsum("qw,pwc->pqc", C, e1,
+                          preferred_element_type=bf16).astype(f32)  # [y,x,4]
 
         cover = (yvalid[:, None] & xvalid[None, :]).astype(f32)
         fb = is_fallback[i]
@@ -421,13 +437,11 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
         # dynamic_update_index_in_dim here lowers to a batched scatter under
         # vmap (measured 7s/frame at 8192 envs); the masked-where form stays
         # a dense select.
-        zi = jnp.clip(e.render_z[i] + 1, 0, 2)
-        az = (a[None] * (zsel == zi)[:, None, None])[..., None]  # [3,r,r,1]
-        new_rgb = rgb[None] * az + canv[..., :3] * (1 - az)
-        new_a = az + canv[..., 3:] * (1 - az)
-        return jnp.concatenate([new_rgb, new_a], axis=-1)
+        src = jnp.concatenate([rgb, jnp.ones((res, res, 1), f32)], axis=-1)
+        az = (a[None] * (zsel == e.render_z[i])[:, None, None])[..., None]
+        return (src * az + canv.astype(f32) * (1 - az)).astype(bf16)
 
-    init = jnp.zeros((3, res, res, 4), f32)
+    init = jnp.zeros((nz, res, res, 4), bf16)
     if cap <= 16:
         # static unroll: XLA fuses the whole pool pass (a traced-count
         # while_loop costs ~15ms/iteration at 8192 envs from carry traffic)
@@ -483,9 +497,10 @@ def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
     img = jnp.where(gt == INVALID_OBJ, -1, img)
     row = atlas.row_for(img, game.mask_theme(img, theme))
 
+    # one-hot picks of integers <= 255: bf16 accumulation is exact
     oh = (row.reshape(-1)[:, None] == jnp.arange(n1)[None, :]).astype(bf16)
     canvas = jnp.einsum(
-        "ci,if->cf", oh, flat, preferred_element_type=jnp.float32
+        "ci,if->cf", oh, flat, preferred_element_type=bf16
     )  # [NC*NC, sA*sA*5]
     canvas = canvas.reshape(NC, NC, sA, sA, 5)
     canvas = jnp.transpose(canvas, (0, 2, 1, 3, 4)).reshape(
@@ -501,12 +516,10 @@ def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
     in_c = (cxx >= 0) & (cxx < NC * sA)
     R = ((ri[:, None] == jnp.arange(NC * sA)[None, :]) & in_r[:, None]).astype(bf16)
     C = ((ci[:, None] == jnp.arange(NC * sA)[None, :]) & in_c[:, None]).astype(bf16)
-    e1 = jnp.einsum(
-        "pa,abc->pbc", R, canvas.astype(bf16), preferred_element_type=jnp.float32
-    )
+    e1 = jnp.einsum("pa,abc->pbc", R, canvas, preferred_element_type=bf16)
     samp = jnp.einsum(
-        "qb,pbc->pqc", C, e1.astype(bf16), preferred_element_type=jnp.float32
-    )
+        "qb,pbc->pqc", C, e1, preferred_element_type=bf16
+    ).astype(f32)
 
     alpha = samp[..., 3:4] / 255.0
     rgb = samp[..., :3]

@@ -195,3 +195,40 @@ def test_textured_render_smoke():
     f2 = collect()
     np.testing.assert_array_equal(f1, f2)
     assert f1.std() > 10  # real image content, not flat fill
+
+
+@pytest.mark.parametrize("env_name", ["maze", "coinrun", "leaper"])
+def test_reset_pool_equivalence(env_name, monkeypatch):
+    """The precomputed next-level pool must be trajectory-identical to
+    resetting in-step: env_reset is a pure function of the live state's
+    level_seed_rand_gen, so consuming a precomputed slot and resetting at
+    episode end produce the same post-reset state."""
+
+    def collect(use_pool):
+        monkeypatch.setenv("PROCGEN_TPU_RESET_POOL", "1" if use_pool else "0")
+        monkeypatch.setenv("PROCGEN_TPU_REPLENISH_EVERY", "4")
+        env = ProcgenGym3Env(
+            num=8, env_name=env_name, rand_seed=7, distribution_mode="easy",
+        )
+        rng = np.random.RandomState(3)
+        obs_l, rew_l, first_l, seed_l = [], [], [], []
+        for t in range(40):
+            acts = rng.randint(0, 15, size=8).astype(np.int32)
+            # forced resets (action -1, game.cpp:141-143) exercise pool
+            # consumption, double-finish fallback, and replenish bursts
+            acts[rng.rand(8) < 0.2] = -1
+            env.act(acts)
+            rew, obs, first = env.observe()
+            obs_l.append(obs["rgb"].copy())
+            rew_l.append(np.asarray(rew))
+            first_l.append(np.asarray(first))
+            seed_l.append(np.asarray(env.get_info()[0]["level_seed"]))
+        return (
+            np.stack(obs_l), np.stack(rew_l), np.stack(first_l),
+            np.stack(seed_l),
+        )
+
+    a = collect(True)
+    b = collect(False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
