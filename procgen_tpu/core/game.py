@@ -387,6 +387,16 @@ class BasicAbstractGame:
         r, g, b = self.color_for_type(img, theme)
         return valid, r, g, b
 
+    def grid_cell_inset(self, s, gtype):
+        """Centered sub-rect size for colored grid cells (cell fraction).
+
+        The inset model is how the Pallas kernel expresses per-pixel cell
+        patterns: a pixel is painted iff |u-0.5| < inset/2 and
+        |v-0.5| < inset/2.  Default 2.0 covers the full cell for every
+        u, v in [0, 1); chaser overrides for its small orbs
+        (chaser.cpp:114-120)."""
+        return jnp.full(jnp.shape(gtype), 2.0, jnp.float32)
+
     def color_for_type(self, type_, theme):
         """Flat color per (type, theme).
 

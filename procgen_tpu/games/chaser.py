@@ -148,6 +148,11 @@ class Chaser(BasicAbstractGame):
         b = jnp.where(is_orb, 0, b)
         return valid, r, g, b
 
+    def grid_cell_inset(self, s, gtype):
+        # small centered orb rect (chaser.cpp:114-120); see
+        # BasicAbstractGame.grid_cell_inset for the inset model
+        return jnp.where(gtype == ORB, ORB_DIM, 2.0).astype(jnp.float32)
+
     def handle_agent_collision(self, s, d, i):
         # chaser.cpp:122-137
         e = s.ents

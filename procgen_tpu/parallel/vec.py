@@ -43,6 +43,31 @@ from ..utils.host_mt import HostMT19937
 i32 = jnp.int32
 
 
+def use_pallas_render(game) -> bool:
+    """Fused render kernel on real TPU; XLA renderer elsewhere (the kernel
+    is bit-identical — tests/test_pallas_render.py — but interpret mode is
+    slow on CPU).  PROCGEN_TPU_PALLAS=0 disables, =force enables off-TPU."""
+    flag = os.environ.get("PROCGEN_TPU_PALLAS", "1")
+    if flag == "0":
+        return False
+    from ..render import pallas_kernel
+
+    if not pallas_kernel.supports(game):
+        return False
+    return flag == "force" or jax.default_backend() == "tpu"
+
+
+def render_batch(game, states, res: int = 64):
+    """Batched observation render on the best available path."""
+    if res == 64 and use_pallas_render(game):
+        from ..render import pallas_kernel
+
+        return pallas_kernel.render_obs_batch(
+            game, states, res, interpret=jax.default_backend() != "tpu"
+        )
+    return jax.vmap(lambda s: render_obs(game, s, res))(states)
+
+
 def _tree_gather(tree, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
@@ -223,7 +248,7 @@ class JaxVecGame:
 
         @jax.jit
         def observe_fn(states):
-            obs = jax.vmap(lambda s: render_obs(game, s, 64))(states)
+            obs = render_batch(game, states, 64)
             info = self._info_impl(states)
             return obs, states.reward, states.done, info
 

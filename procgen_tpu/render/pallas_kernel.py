@@ -1,0 +1,768 @@
+"""Fused Pallas render kernel — the whole frame in VMEM.
+
+The XLA renderer (render/renderer.py) expresses every sampling step as
+one-hot matmuls, but at batch scale each pass materialises full-frame
+intermediates in HBM ([N,64,64,*] per op), leaving the render memory-bound
+(~27 GB accessed / frame batch at N=4096).  This kernel runs the identical
+math — background crop -> z=-1 sprites -> grid tiles -> colored cells ->
+z=0/1 sprites — per env inside one Pallas program, so the only HBM traffic
+is the small per-env inputs, the resident atlases, and the final
+[N,3,64,64] uint8 planes.
+
+Bit-parity with the XLA path is a design invariant, not an accident:
+
+* every texel fetch is a one-hot matmul whose output elements have exactly
+  one nonzero term, an integer <= 255, so bf16 accumulation is exact in
+  both backends;
+* index arithmetic, blend formulas, rounding points, and the per-slot bf16
+  canvas round-trip are copied operation-for-operation from renderer.py;
+* all game polymorphism (hooks: image_for_type, color_for_type, themes,
+  rect adjustment, tile ratios, camera) is evaluated OUTSIDE the kernel on
+  [N, cap] / [N, NC, NC] shapes by `prep` (cheap), so one generic kernel
+  serves every game.
+
+Geometry reference: basic-abstract-game.cpp:828-1021 (QPainter pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.constants import INVALID_OBJ, SPACE
+from . import renderer as xr
+from .atlas import get_atlases
+
+f32 = jnp.float32
+i32 = jnp.int32
+bf16 = jnp.bfloat16
+u8 = jnp.uint8
+
+RES = 64
+
+# ent_f columns
+EF_X0, EF_Y0, EF_W2, EF_H2, EF_ALPHA, EF_R, EF_G, EF_B = range(8)
+EF_N = 8
+# ent_i columns
+(EI_ROW, EI_LIVE, EI_FB, EI_PFLIP, EI_QFLIP, EI_Z, EI_NTH, EI_NTV,
+ EI_TILEH, EI_TILEV) = range(10)
+EI_N = 10
+
+# scalar columns (f32)
+(SF_UNIT, SF_VIS, SF_XOFF, SF_YOFF, SF_MRX, SF_MRY, SF_MRW, SF_MRH,
+ SF_BGRX, SF_BGRW, SF_TILEH, SF_TOPY, SF_LOWX) = range(13)
+SF_N = 13
+# scalar columns (i32)
+SI_BGROW, = range(1)
+SI_N = 1
+
+
+class PallasPlan:
+    """Static (per game, per res) compilation plan + device-resident atlases."""
+
+    def __init__(self, game, res: int):
+        assert res == RES, "pallas renderer is 64x64 only (v1)"
+        grid_atlas, bg_atlas, ent_atlas = get_atlases(game, res)
+        self.game = game
+        self.res = res
+        self.grid_atlas = grid_atlas
+        self.bg_atlas = bg_atlas
+        self.ent_atlas = ent_atlas
+
+        wmax, hmax = game.WORLD_DIM_MAX
+        if game.center_agent:
+            self.NC = int(game.visibility) + 3
+        else:
+            self.NC = max(wmax, hmax)
+        self.cap = game.ENT_CAP
+        self.dcap = game.DECOR_CAP
+        self.z_levels = tuple(game.ENT_Z_LEVELS)
+        self.dz_levels = tuple(game.DECOR_Z_LEVELS)
+
+        # --- background atlas: planar bf16 [3*nb*BH, BW] ------------------
+        if bg_atlas is not None:
+            self.BH, self.BW = bg_atlas.BH, bg_atlas.BW
+            self.nb = bg_atlas.pixels.shape[0]
+            pix = bg_atlas.pixels.astype(np.float32)  # [nb, BH, BW, 3]
+            self.bg_flat = jnp.asarray(
+                np.transpose(pix, (3, 0, 1, 2)).reshape(
+                    3 * self.nb * self.BH, self.BW
+                ),
+                bf16,
+            )
+            self.bg_aspects = jnp.asarray(bg_atlas.aspects)
+        else:
+            self.BH = self.BW = 8
+            self.nb = 1
+            self.bg_flat = jnp.zeros((3 * 8, 8), bf16)
+            self.bg_aspects = jnp.ones((1,), f32)
+
+        # --- grid atlas: planar bf16 [4*n1g*sA, sA] -----------------------
+        if grid_atlas is not None:
+            self.sA = grid_atlas.tile_px
+            rows = grid_atlas.rows.astype(np.float32)  # [n1, sA, sA, 4]
+            self.n1g = rows.shape[0] - 1  # exclude transparent row
+            g = rows[: self.n1g]
+            self.grid_flat = jnp.asarray(
+                np.transpose(g, (3, 0, 1, 2)).reshape(
+                    4 * self.n1g * self.sA, self.sA
+                ),
+                bf16,
+            )
+        else:
+            self.sA = 2
+            self.n1g = 0
+            self.grid_flat = jnp.zeros((4 * 1 * 2, 2), bf16)
+
+        # --- entity atlas + transposed variants: [4*2*n1e*S, S] -----------
+        if ent_atlas is not None:
+            self.S = ent_atlas.tile_px
+            rows = ent_atlas.rows.astype(np.float32)  # [n1e+1, S, S, 4]
+            self.n1e = rows.shape[0]  # keep transparent row (harmless)
+            both = np.concatenate(
+                [rows, np.transpose(rows, (0, 2, 1, 3))], axis=0
+            )  # [2*n1e, S, S, 4]
+            self.ent_flat = jnp.asarray(
+                np.transpose(both, (3, 0, 1, 2)).reshape(
+                    4 * 2 * self.n1e * self.S, self.S
+                ),
+                bf16,
+            )
+        else:
+            self.S = 2
+            self.n1e = 1
+            self.ent_flat = jnp.zeros((4 * 2 * 1 * 2, 2), bf16)
+
+
+_PLANS: dict = {}
+
+
+def get_plan(game, res: int) -> PallasPlan:
+    key = (game.name, game.options.distribution_mode, res, id(type(game)),
+           game.options.use_generated_assets and int(game.fixed_asset_seed),
+           game.options.use_monochrome_assets)
+    if key not in _PLANS:
+        _PLANS[key] = PallasPlan(game, res)
+    return _PLANS[key]
+
+
+def supports(game, res: int = RES) -> bool:
+    """Gate: games whose render path the kernel reproduces exactly."""
+    if res != RES:
+        return False
+    if game.uses_procgen_background:
+        return False  # per-env bg canvas source: v2
+    if type(game).paint_background is not _base_paint_background():
+        return False  # custom background (starpilot scroll): v2
+    if type(game).grid_cell_colors not in _known_cell_colors():
+        return False  # per-pixel cell patterns beyond the inset model
+    if game.center_agent and getattr(game, "DYNAMIC_VISIBILITY", False):
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=1)
+def _base_paint_background():
+    from ..core.game import BasicAbstractGame
+
+    return BasicAbstractGame.paint_background
+
+
+@functools.lru_cache(maxsize=1)
+def _known_cell_colors():
+    from ..core.game import BasicAbstractGame
+
+    known = [BasicAbstractGame.grid_cell_colors]
+    try:
+        from ..games.chaser import Chaser
+
+        known.append(Chaser.grid_cell_colors)
+    except Exception:  # pragma: no cover
+        pass
+    return tuple(known)
+
+
+# ---------------------------------------------------------------------------
+# prep: all game hooks evaluated at [N, cap] / [N, NC, NC] scale
+# ---------------------------------------------------------------------------
+
+
+def _prep_one(plan: PallasPlan, s):
+    """Single-env kernel inputs (vmapped by the caller)."""
+    game = plan.game
+    res = plan.res
+    NC = plan.NC
+
+    w = s.main_width.astype(f32)
+    h = s.main_height.astype(f32)
+    if game.center_agent:
+        cx, cy, vis = game.camera(s)
+    else:
+        cx = w * 0.5
+        cy = h * 0.5
+        vis = jnp.maximum(jnp.maximum(w, h), f32(game.min_visibility))
+    unit = res / vis
+    x_off = unit * (cx - vis / 2)
+    y_off = unit * (cy - vis / 2)
+
+    sf = jnp.zeros((SF_N,), f32)
+    si = jnp.zeros((SI_N,), i32)
+    sf = sf.at[SF_UNIT].set(unit).at[SF_VIS].set(vis)
+    sf = sf.at[SF_XOFF].set(x_off).at[SF_YOFF].set(y_off)
+
+    # background rect scalars (renderer._paint_background)
+    if plan.bg_atlas is not None and game.options.use_backgrounds:
+        mr_x = -x_off
+        mr_y = (vis - h) * unit + y_off
+        mr_w = w * unit
+        mr_h = h * unit
+        sf = sf.at[SF_MRX].set(mr_x).at[SF_MRY].set(mr_y)
+        sf = sf.at[SF_MRW].set(mr_w).at[SF_MRH].set(mr_h)
+        bi = jnp.clip(s.background_index, 0, plan.nb - 1)
+        si = si.at[SI_BGROW].set(bi)
+        if game.bg_tile_ratio < 0:
+            ratio = -game.bg_tile_ratio
+            num_tiles = jnp.maximum((mr_h / (mr_w * ratio)).astype(i32), 1)
+            sf = sf.at[SF_TILEH].set(mr_h / num_tiles.astype(f32))
+        else:
+            bg_ar = plan.bg_aspects[bi]
+            world_ar = w / h
+            extra_w = bg_ar - world_ar
+            offx = s.bg_pct_x * extra_w
+            sf = sf.at[SF_BGRX].set(mr_x + mr_w * (-offx))
+            sf = sf.at[SF_BGRW].set(mr_w * bg_ar / world_ar)
+
+    # grid cell window (renderer._paint_grid_tiles)
+    wmax, hmax = game.WORLD_DIM_MAX
+    if game.center_agent:
+        margin = vis / 2 + 1
+        low_x = jnp.trunc(cx - margin).astype(i32)
+        low_y = jnp.trunc(cy - margin).astype(i32)
+        oob_val = game.out_of_bounds_object
+    else:
+        low_x = jnp.zeros((), i32)
+        low_y = jnp.zeros((), i32)
+        oob_val = INVALID_OBJ
+    top_y = low_y + NC
+    sf = sf.at[SF_TOPY].set(top_y.astype(f32))
+    sf = sf.at[SF_LOWX].set(low_x.astype(f32))
+
+    cys = top_y - 1 - jnp.arange(NC)
+    cxs = low_x + jnp.arange(NC)
+    gt = xr._onehot_sample_grid(s.grid, cys, cxs, hmax, wmax, INVALID_OBJ)
+    inb = ((cys >= 0) & (cys < s.main_height))[:, None] & (
+        (cxs >= 0) & (cxs < s.main_width)
+    )[None, :]
+    gt = jnp.where(inb, gt, oob_val)
+
+    # textured rows per cell (-1 = untextured)
+    if plan.grid_atlas is not None:
+        img = game.image_for_type(s, gt)
+        theme = game.theme_for_grid_obj(s, gt)
+        img = jnp.where(gt == INVALID_OBJ, -1, img)
+        row = plan.grid_atlas.row_for(img, game.mask_theme(img, theme))
+        rowmap = jnp.where(row == plan.grid_atlas.transparent_row, -1, row)
+    else:
+        rowmap = jnp.full((NC, NC), -1, i32)
+
+    # colored-cell planes: r,g,b,valid,inset (cell-center evaluation;
+    # chaser's orb inset is the only per-pixel pattern, grid_cell_inset)
+    cv, cr, cg, cb = game.grid_cell_colors(
+        s, gt, jnp.full((NC, NC), 0.5, f32), jnp.full((NC, NC), 0.5, f32)
+    )
+    inset = game.grid_cell_inset(s, gt)
+    cell5 = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(cr, f32), (NC, NC)),
+            jnp.broadcast_to(jnp.asarray(cg, f32), (NC, NC)),
+            jnp.broadcast_to(jnp.asarray(cb, f32), (NC, NC)),
+            jnp.broadcast_to(cv.astype(f32), (NC, NC)),
+            jnp.broadcast_to(jnp.asarray(inset, f32), (NC, NC)),
+        ],
+        axis=0,
+    )  # [5, NC, NC]
+
+    ent_f, ent_i = _prep_pool(
+        plan, s, s.ents, game.should_draw_entity_mask(s), plan.z_levels,
+        res, unit, vis, x_off, y_off,
+    )
+    if plan.dcap:
+        dec_f, dec_i = _prep_pool(
+            plan, s, s.decor, None, plan.dz_levels, res, unit, vis, x_off,
+            y_off,
+        )
+    else:
+        dec_f = jnp.zeros((1, EF_N), f32)
+        dec_i = jnp.zeros((1, EI_N), i32)
+
+    return sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i
+
+
+def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
+    """Per-slot sprite parameters, mirroring renderer._sprite_canvases."""
+    game = plan.game
+    e = pool
+    cap = e.cap
+    S = plan.S
+
+    img_all = game.image_for_type(s, e.image_type)
+    live_all = e.active & (img_all >= 0) & (img_all != SPACE)
+    if mask is not None:
+        live_all &= mask
+    if plan.ent_atlas is not None:
+        row_all = plan.ent_atlas.row_for(
+            img_all, game.mask_theme(img_all, e.image_theme)
+        )
+        is_fallback = row_all == plan.ent_atlas.transparent_row
+    else:
+        row_all = jnp.zeros((cap,), i32)
+        is_fallback = jnp.ones((cap,), bool)
+    tile_ratio_all = game.entity_tile_ratio(s, e)
+
+    x0_w = (e.x - e.rx) * unit - x_off
+    y0_w = (vis - (e.y + e.ry)) * unit + y_off
+    w2_w = 2 * e.rx * unit
+    h2_w = 2 * e.ry * unit
+    x0_a = res * (e.x - e.rx)
+    y0_a = res * (e.y + e.ry)
+    w2_a = 2 * res * e.rx
+    h2_a = 2 * res * e.ry
+    x0 = jnp.where(e.use_abs_coords, x0_a, x0_w)
+    y0 = jnp.where(e.use_abs_coords, y0_a, y0_w)
+    w2 = jnp.where(e.use_abs_coords, w2_a, w2_w)
+    h2 = jnp.where(e.use_abs_coords, h2_a, h2_w)
+    x0, y0, w2, h2 = game.adjust_image_rect(img_all, x0, y0, w2, h2)
+    w2 = jnp.maximum(w2, 1e-6)
+    h2 = jnp.maximum(h2, 1e-6)
+
+    fr, fg, fb = game.color_for_type(img_all, e.image_theme)
+
+    # rotation quarter + reflection -> atlas variant + index flips.
+    # XLA order: reflect img (flip source x), then maybe transpose, then
+    # sample at (row_idx, col_idx) with rot flips.  Deriving the sample
+    # source index: with T the transposed atlas variant,
+    #   use_t=0: orig[row_idx, refl ? S-1-col_idx : col_idx]
+    #   use_t=1: origT[refl ? S-1-row_idx : row_idx, col_idx]
+    # so pflip = rowflip ^ (use_t & refl), qflip = colflip ^ (~use_t & refl).
+    q = jnp.round(e.rotation * (2.0 / jnp.pi)).astype(i32) % 4
+    use_t = (q == 1) | (q == 3)
+    rowflip = (q == 2) | (q == 3)
+    colflip = (q == 1) | (q == 2)
+    refl = e.is_reflected
+    pflip = rowflip ^ (use_t & refl)
+    qflip = colflip ^ (~use_t & refl)
+    row2 = row_all + jnp.where(use_t, plan.n1e, 0)
+
+    tr = tile_ratio_all
+    nt_h = jnp.maximum((w2 / (h2 * jnp.maximum(tr, 1e-6))).astype(i32), 1)
+    nt_v = jnp.maximum((h2 / (w2 * jnp.maximum(-tr, 1e-6))).astype(i32), 1)
+
+    zl = jnp.asarray(z_levels, i32)
+    z_idx = jnp.full((cap,), -1, i32)
+    for j, z in enumerate(z_levels):
+        z_idx = jnp.where(e.render_z == z, j, z_idx)
+
+    ent_f = jnp.stack(
+        [x0, y0, w2, h2, e.alpha,
+         jnp.broadcast_to(jnp.asarray(fr, f32), (cap,)),
+         jnp.broadcast_to(jnp.asarray(fg, f32), (cap,)),
+         jnp.broadcast_to(jnp.asarray(fb, f32), (cap,))],
+        axis=-1,
+    )
+    ent_i = jnp.stack(
+        [row2, live_all.astype(i32), is_fallback.astype(i32),
+         pflip.astype(i32), qflip.astype(i32), z_idx, nt_h, nt_v,
+         (tr > 0).astype(i32), (tr < 0).astype(i32)],
+        axis=-1,
+    )
+    return ent_f, ent_i
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(plan: PallasPlan):
+    res = plan.res
+    NC = plan.NC
+    S = plan.S
+    sA = plan.sA
+    BH, BW, nb = plan.BH, plan.BW, plan.nb
+    n1g, n1e = plan.n1g, plan.n1e
+    cap, dcap = plan.cap, plan.dcap
+    nz = len(plan.z_levels)
+    nzd = len(plan.dz_levels)
+    use_bg = plan.bg_atlas is not None and plan.game.options.use_backgrounds
+    bg_tiled = plan.game.bg_tile_ratio < 0
+    has_grid_tex = plan.grid_atlas is not None and n1g > 0
+
+    # pixel-center screen coordinates, as column [res,1] / row [1,res]
+    def iota_col(n):
+        return jax.lax.broadcasted_iota(i32, (n, 1), 0)
+
+    def iota_row(n):
+        return jax.lax.broadcasted_iota(i32, (1, n), 1)
+
+    def kernel(sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref, enti_ref,
+               decf_ref, deci_ref, bg_ref, grid_ref, ent_ref, out_ref,
+               ecanv_ref, dcanv_ref, gacc_ref):
+        unit = sf_ref[0, 0, SF_UNIT]
+        vis = sf_ref[0, 0, SF_VIS]
+        x_off = sf_ref[0, 0, SF_XOFF]
+        y_off = sf_ref[0, 0, SF_YOFF]
+
+        sy = iota_col(res).astype(f32) + 0.5  # [res,1] screen y
+        sx_r = iota_row(res).astype(f32) + 0.5  # [1,res] screen x
+        wys = vis - (sy - y_off) / unit  # [res,1] world y per pixel row
+        wxs = (sx_r + x_off) / unit  # [1,res] world x per pixel col
+
+        # ---- background (renderer._paint_background) --------------------
+        if use_bg:
+            mr_x = sf_ref[0, 0, SF_MRX]
+            mr_y = sf_ref[0, 0, SF_MRY]
+            mr_w = sf_ref[0, 0, SF_MRW]
+            mr_h = sf_ref[0, 0, SF_MRH]
+            if bg_tiled:
+                tile_h = sf_ref[0, 0, SF_TILEH]
+                fy = (sy - mr_y) / tile_h
+                frac_y = fy - jnp.floor(fy)
+                row_idx = jnp.clip((frac_y * BH).astype(i32), 0, BH - 1)
+                col_idx = jnp.clip(
+                    ((sx_r - mr_x) / mr_w * BW).astype(i32), 0, BW - 1
+                )
+                in_y = (sy >= mr_y) & (sy < mr_y + mr_h)
+                in_x = (sx_r >= mr_x) & (sx_r < mr_x + mr_w)
+            else:
+                bgr_x = sf_ref[0, 0, SF_BGRX]
+                bgr_w = sf_ref[0, 0, SF_BGRW]
+                row_idx = jnp.clip(
+                    ((sy - mr_y) / mr_h * BH).astype(i32), 0, BH - 1
+                )
+                col_idx = jnp.clip(
+                    ((sx_r - bgr_x) / bgr_w * BW).astype(i32), 0, BW - 1
+                )
+                in_y = (sy >= mr_y) & (sy < mr_y + mr_h)
+                in_x = (sx_r >= bgr_x) & (sx_r < bgr_x + bgr_w)
+
+            R = (
+                (row_idx == jax.lax.broadcasted_iota(i32, (res, BH), 1))
+                & in_y
+            ).astype(bf16)  # [res, BH]
+            Ct = (
+                (jax.lax.broadcasted_iota(i32, (BW, res), 0) == col_idx)
+                & in_x
+            ).astype(bf16)  # [BW, res]
+            bgrow = si_ref[0, 0, SI_BGROW]
+            obs = []
+            for c in range(3):
+                img_c = bg_ref[pl.ds((c * nb + bgrow) * BH, BH), :]
+                t1 = jnp.dot(R, img_c, preferred_element_type=f32)
+                samp = jnp.dot(t1, Ct, preferred_element_type=f32)
+                obs.append(samp.astype(f32))
+        else:
+            obs = [jnp.zeros((res, res), f32) for _ in range(3)]
+
+        # ---- entity sprite canvases (both pools, one pass each) ---------
+        def zero(ref, n):
+            ref[...] = jnp.zeros((n * 4, res, res), f32)
+
+        zero(ecanv_ref, nz)
+        if dcap:
+            zero(dcanv_ref, nzd)
+
+        def sprite_pass(n_slots, f_ref, i_ref, canv_ref):
+            for i in range(n_slots):
+                live = i_ref[0, i, EI_LIVE]
+                zi = i_ref[0, i, EI_Z]
+
+                @pl.when((live > 0) & (zi >= 0))
+                def _():
+                    x0 = f_ref[0, i, EF_X0]
+                    y0 = f_ref[0, i, EF_Y0]
+                    w2 = f_ref[0, i, EF_W2]
+                    h2 = f_ref[0, i, EF_H2]
+                    u = (sx_r - x0) / w2  # [1,res]
+                    v = (sy - y0) / h2  # [res,1]
+                    xvalid = (u >= 0) & (u < 1)
+                    yvalid = (v >= 0) & (v < 1)
+
+                    ut = u * i_ref[0, i, EI_NTH].astype(f32)
+                    vt = v * i_ref[0, i, EI_NTV].astype(f32)
+                    u_ = jnp.where(
+                        i_ref[0, i, EI_TILEH] > 0, ut - jnp.floor(ut), u
+                    )
+                    v_ = jnp.where(
+                        i_ref[0, i, EI_TILEV] > 0, vt - jnp.floor(vt), v
+                    )
+                    ui = jnp.clip((u_ * S).astype(i32), 0, S - 1)
+                    vi = jnp.clip((v_ * S).astype(i32), 0, S - 1)
+                    pidx = jnp.where(
+                        i_ref[0, i, EI_PFLIP] > 0, S - 1 - vi, vi
+                    )  # [res,1]
+                    qidx = jnp.where(
+                        i_ref[0, i, EI_QFLIP] > 0, S - 1 - ui, ui
+                    )  # [1,res]
+
+                    Ry = (
+                        (pidx == jax.lax.broadcasted_iota(i32, (res, S), 1))
+                        & yvalid
+                    ).astype(bf16)
+                    Cxt = (
+                        (jax.lax.broadcasted_iota(i32, (S, res), 0) == qidx)
+                        & xvalid
+                    ).astype(bf16)
+
+                    cover = (yvalid & xvalid).astype(f32)  # [res,res]
+                    fb = i_ref[0, i, EI_FB] > 0
+                    row2 = i_ref[0, i, EI_ROW]
+                    alpha_e = f_ref[0, i, EF_ALPHA]
+
+                    # alpha channel first
+                    img_a = ent_ref[pl.ds((3 * 2 * n1e + row2) * S, S), :]
+                    samp_a = jnp.dot(
+                        jnp.dot(Ry, img_a, preferred_element_type=f32),
+                        Cxt, preferred_element_type=f32,
+                    ).astype(f32)
+                    a = jnp.where(
+                        fb, cover, samp_a * (1.0 / 255.0) * alpha_e * cover
+                    )
+
+                    zoff = zi * 4
+                    for c in range(3):
+                        img_c = ent_ref[
+                            pl.ds((c * 2 * n1e + row2) * S, S), :
+                        ]
+                        samp_c = jnp.dot(
+                            jnp.dot(Ry, img_c, preferred_element_type=f32),
+                            Cxt, preferred_element_type=f32,
+                        ).astype(f32)
+                        rgb_c = jnp.where(fb, f_ref[0, i, EF_R + c], samp_c)
+                        old = canv_ref[zoff + c]
+                        canv_ref[zoff + c] = (
+                            (rgb_c * a + old * (1 - a)).astype(bf16)
+                        ).astype(f32)
+                    old_a = canv_ref[zoff + 3]
+                    canv_ref[zoff + 3] = (
+                        (a + old_a * (1 - a)).astype(bf16)
+                    ).astype(f32)
+
+        sprite_pass(cap, entf_ref, enti_ref, ecanv_ref)
+        if dcap:
+            sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref)
+
+        def apply_canvas(obs, canv_ref, zoff):
+            a = canv_ref[zoff + 3]
+            return [
+                jnp.round(canv_ref[zoff + c] + obs[c] * (1 - a))
+                for c in range(3)
+            ]
+
+        def paint_z(obs, zlevel):
+            if zlevel in plan.z_levels:
+                obs = apply_canvas(obs, ecanv_ref,
+                                   plan.z_levels.index(zlevel) * 4)
+            if dcap and zlevel in plan.dz_levels:
+                obs = apply_canvas(obs, dcanv_ref,
+                                   plan.dz_levels.index(zlevel) * 4)
+            return obs
+
+        obs = paint_z(obs, -1)
+
+        # ---- grid pass ---------------------------------------------------
+        rowmap = rowmap_ref[0]  # [NC, NC]
+        top_y = sf_ref[0, 0, SF_TOPY]
+        low_x = sf_ref[0, 0, SF_LOWX]
+
+        # canvas coords (renderer._paint_grid_tiles resample indices)
+        cyx = (top_y - wys) * sA  # [res,1]
+        cxx = (wxs - low_x) * sA  # [1,res]
+        ri = jnp.clip(jnp.floor(cyx).astype(i32), 0, NC * sA - 1)
+        ci = jnp.clip(jnp.floor(cxx).astype(i32), 0, NC * sA - 1)
+        in_r = (cyx >= 0) & (cyx < NC * sA)  # [res,1]
+        in_c = (cxx >= 0) & (cxx < NC * sA)  # [1,res]
+        ycell = ri // sA  # [res,1]
+        vi_g = ri % sA
+        xcell = ci // sA  # [1,res]
+        ui_g = ci % sA
+
+        Py = (
+            (ycell == jax.lax.broadcasted_iota(i32, (res, NC), 1)) & in_r
+        ).astype(bf16)  # [res, NC]
+        Pxt = (
+            (jax.lax.broadcasted_iota(i32, (NC, res), 0) == xcell) & in_c
+        ).astype(bf16)  # [NC, res]
+
+        if has_grid_tex:
+            Vy = (
+                vi_g == jax.lax.broadcasted_iota(i32, (res, sA), 1)
+            ).astype(bf16)
+            Vxt = (
+                jax.lax.broadcasted_iota(i32, (sA, res), 0) == ui_g
+            ).astype(bf16)
+
+            # accumulate per atlas row into scratch (predicated writes need
+            # a ref); at most one row matches per pixel, so += is exact
+            gacc_ref[...] = jnp.zeros((4, res, res), f32)
+            for r in range(n1g):
+                cellmask = rowmap == r
+
+                @pl.when(jnp.any(cellmask))
+                def _(r=r, cellmask=cellmask):
+                    Mr = jnp.dot(
+                        jnp.dot(Py, cellmask.astype(bf16),
+                                preferred_element_type=f32),
+                        Pxt, preferred_element_type=f32,
+                    ).astype(f32)
+                    for c in range(4):
+                        img_c = grid_ref[
+                            pl.ds((c * n1g + r) * sA, sA), :
+                        ]
+                        Ar = jnp.dot(
+                            jnp.dot(Vy, img_c, preferred_element_type=f32),
+                            Vxt, preferred_element_type=f32,
+                        ).astype(f32)
+                        gacc_ref[c] += Mr * Ar
+
+            alpha = gacc_ref[3] * (1.0 / 255.0)
+            obs = [
+                jnp.round(obs[c] * (1 - alpha) + gacc_ref[c] * alpha)
+                for c in range(3)
+            ]
+            covered = (
+                jnp.dot(
+                    jnp.dot(Py, (rowmap >= 0).astype(bf16),
+                            preferred_element_type=f32),
+                    Pxt, preferred_element_type=f32,
+                ).astype(f32)
+                > 0.5
+            )
+        else:
+            covered = jnp.zeros((res, res), bool)
+
+        # colored cells (renderer grid_cell_colors path)
+        def cellpick(j):
+            return jnp.dot(
+                jnp.dot(Py, cell5_ref[0, j].astype(bf16),
+                        preferred_element_type=f32),
+                Pxt, preferred_element_type=f32,
+            ).astype(f32)
+
+        cvalid = cellpick(3) > 0.5
+        inset = cellpick(4)
+        u_frac = wxs - jnp.floor(wxs)  # [1,res]
+        v_frac = wys - jnp.floor(wys)  # [res,1]
+        central = (jnp.abs(u_frac - 0.5) < inset / 2) & (
+            jnp.abs(v_frac - 0.5) < inset / 2
+        )
+        gvalid = cvalid & central & ~covered
+        for c in range(3):
+            obs[c] = jnp.where(gvalid, cellpick(c), obs[c])
+
+        obs = paint_z(obs, 0)
+        obs = paint_z(obs, 1)
+
+        for c in range(3):
+            # Mosaic has no f32->u8 cast; round-trip through int32
+            out_ref[0, c] = obs[c].astype(i32).astype(u8)
+
+    return kernel
+
+
+def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
+    res = plan.res
+    NC = plan.NC
+    cap, dcap = plan.cap, plan.dcap
+    nz = len(plan.z_levels)
+    nzd = len(plan.dz_levels)
+    dcap_eff = dcap if dcap else 1
+
+    kernel = _make_kernel(plan)
+
+    def row_block(shape, space=pltpu.VMEM):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=space,
+        )
+
+    def const_block(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, 3, res, res), u8),
+        grid=(N,),
+        in_specs=[
+            row_block((1, SF_N), pltpu.SMEM),
+            row_block((1, SI_N), pltpu.SMEM),
+            row_block((NC, NC)),
+            row_block((5, NC, NC)),
+            row_block((cap, EF_N), pltpu.SMEM),
+            row_block((cap, EI_N), pltpu.SMEM),
+            row_block((dcap_eff, EF_N), pltpu.SMEM),
+            row_block((dcap_eff, EI_N), pltpu.SMEM),
+            const_block(plan.bg_flat),
+            const_block(plan.grid_flat),
+            const_block(plan.ent_flat),
+        ],
+        out_specs=row_block((3, res, res)),
+        scratch_shapes=[
+            pltpu.VMEM((nz * 4, res, res), f32),
+            pltpu.VMEM((nzd * 4, res, res), f32),
+            pltpu.VMEM((4, res, res), f32),
+        ],
+        interpret=interpret,
+    )
+    return call
+
+
+def render_obs_batch(game, states, res: int = RES, interpret=None):
+    """Batched [N, res, res, 3] uint8 frames via the fused kernel."""
+    plan = get_plan(game, res)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    prep = jax.vmap(lambda s: _prep_one(plan, s))(states)
+    sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i = prep
+    N = sf.shape[0]
+    sf = sf.reshape(N, 1, SF_N)
+    si = si.reshape(N, 1, SI_N)
+    call = _pallas_call(plan, N, interpret)
+    out = call(
+        sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i,
+        plan.bg_flat, plan.grid_flat, plan.ent_flat,
+    )
+    obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)
+
+    # post passes identical to renderer.render_obs: overlays run in XLA
+    def post(o, s):
+        sx = jnp.arange(res, dtype=f32) + 0.5
+        sy = jnp.arange(res, dtype=f32) + 0.5
+        if game.options.paint_vel_info and game.has_useful_vel_info:
+            infodim = res * 0.2
+            s1 = xr.to_shade(0.5 * s.ents.vx[0] / s.maxspeed + 0.5)
+            s2 = xr.to_shade(0.5 * s.ents.vy[0] / s.max_jump + 0.5)
+            in_y = (sy < infodim)[:, None]
+            r1 = in_y & (sx < infodim)[None, :]
+            r2 = in_y & ((sx >= infodim) & (sx < 2 * infodim))[None, :]
+            o = jnp.where(r1[:, :, None], s1, o)
+            o = jnp.where(r2[:, :, None], s2, o)
+        w = s.main_width.astype(f32)
+        h = s.main_height.astype(f32)
+        if game.center_agent:
+            _, _, vis = game.camera(s)
+        else:
+            vis = jnp.maximum(jnp.maximum(w, h), f32(game.min_visibility))
+        unit = res / vis
+        o = game.render_overlay(s, o, sx, sy, res, unit, vis)
+        return o.astype(u8)
+
+    return jax.vmap(post)(obs, states)

@@ -1,0 +1,53 @@
+"""Fused Pallas render kernel vs the XLA renderer: bit-equal frames.
+
+Both paths compute every texel fetch as an exact bf16 one-hot matmul and
+share index/blend/rounding formulas, so outputs must match exactly.  Runs
+the kernel in interpreter mode on the CPU test mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from procgen_tpu.core import lifecycle
+from procgen_tpu.core.constants import EASY_MODE, INT32_MAX
+from procgen_tpu.core.options import GameOptions
+from procgen_tpu.games.registry import make_game
+from procgen_tpu.render import pallas_kernel
+from procgen_tpu.render.renderer import render_obs
+from procgen_tpu.utils.host_mt import HostMT19937
+
+
+def _mk_states(game, n, seed=0):
+    master = HostMT19937(seed)
+    seeds = jnp.asarray([master.next_u32() for _ in range(n)], jnp.uint32)
+    states = jax.vmap(lambda sd: lifecycle.initial_state(game, sd))(seeds)
+    return jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
+
+
+@pytest.mark.parametrize("env_name", ["maze", "miner", "chaser", "bigfish"])
+def test_pallas_matches_xla(env_name):
+    game = make_game(env_name, GameOptions(distribution_mode=EASY_MODE))
+    game.level_seed_low, game.level_seed_high = 0, INT32_MAX
+    if not pallas_kernel.supports(game):
+        pytest.skip(f"{env_name} not yet on the pallas path")
+
+    n = 4
+    states = _mk_states(game, n)
+
+    # advance a few steps so entities move / decor spawns
+    rng = np.random.RandomState(0)
+    step = jax.jit(
+        jax.vmap(lambda s, a: lifecycle.env_step(game, s, a)[0])
+    )
+    for t in range(6):
+        states = step(states, jnp.asarray(rng.randint(0, 15, size=n)))
+
+    ref = jax.jit(jax.vmap(lambda s: render_obs(game, s, 64)))(states)
+    out = jax.jit(
+        lambda st: pallas_kernel.render_obs_batch(game, st, 64,
+                                                  interpret=True)
+    )(states)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
