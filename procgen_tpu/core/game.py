@@ -786,21 +786,13 @@ class BasicAbstractGame:
             s = self.step_smart_entities_vectorized(s)
 
         # Entity::step for all non-agent slots (order-independent)
-        agent_backup = jax.tree_util.tree_map(
-            lambda a: a[0] if a.ndim > 0 else a, s.ents
-        )
-        ents = s.ents.step_all()
-        restore = {
-            k: getattr(ents, k).at[0].set(getattr(agent_backup, k))
-            for k in ents.__dataclass_fields__
-            if k != "count"
-        }
-        s = s.replace(ents=ents.replace(**restore))
+        nonagent = jnp.arange(s.ents.cap) != 0
+        s = s.replace(ents=s.ents.step_masked(s.ents.active & nonagent))
         if self.DECOR_CAP:
             s = s.replace(decor=s.decor.step_all())
         # agent: move then step, last (slot 0 in the reverse loop)
         s = self.basic_step_object_agent(s)
-        s = s.replace(ents=_entity_step_slot(s.ents, 0))
+        s = s.replace(ents=s.ents.step_masked(s.ents.active & ~nonagent))
         return s
 
     def check_grid_collisions(self, s: BasicState, d, slot):

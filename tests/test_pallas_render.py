@@ -27,7 +27,11 @@ def _mk_states(game, n, seed=0):
     return jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
 
 
-@pytest.mark.parametrize("env_name", ["maze", "miner", "chaser", "bigfish"])
+@pytest.mark.parametrize("env_name", [
+    "maze", "miner", "chaser", "bigfish", "coinrun", "heist", "ninja",
+    "leaper", "caveflyer", "plunder", "climber", "jumper", "dodgeball",
+    "fruitbot", "bossfight",
+])
 def test_pallas_matches_xla(env_name):
     game = make_game(env_name, GameOptions(distribution_mode=EASY_MODE))
     game.level_seed_low, game.level_seed_high = 0, INT32_MAX
