@@ -103,7 +103,8 @@ class PallasPlan:
             self.bg_flat = jnp.zeros((3 * 8, 8), bf16)
             self.bg_aspects = jnp.ones((1,), f32)
 
-        # --- grid atlas: planar bf16 [4*n1g*sA, sA] -----------------------
+        # --- grid atlas: planar bf16 [4*n1g*sA, sA] (lane slices at
+        # non-128 offsets cost vector shifts; sublane slices are cheap) ----
         if grid_atlas is not None:
             self.sA = grid_atlas.tile_px
             rows = grid_atlas.rows.astype(np.float32)  # [n1, sA, sA, 4]
@@ -120,7 +121,7 @@ class PallasPlan:
             self.n1g = 0
             self.grid_flat = jnp.zeros((4 * 1 * 2, 2), bf16)
 
-        # --- entity atlas + transposed variants: [4*2*n1e*S, S] -----------
+        # --- entity atlas + transposed variants: planar [4*2*n1e*S, S] ----
         if ent_atlas is not None:
             self.S = ent_atlas.tile_px
             rows = ent_atlas.rows.astype(np.float32)  # [n1e+1, S, S, 4]
@@ -389,7 +390,7 @@ def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(plan: PallasPlan):
+def _make_kernel(plan: PallasPlan, B: int):
     res = plan.res
     NC = plan.NC
     S = plan.S
@@ -413,10 +414,23 @@ def _make_kernel(plan: PallasPlan):
     def kernel(sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref, enti_ref,
                decf_ref, deci_ref, bg_ref, grid_ref, ent_ref, out_ref,
                ecanv_ref, dcanv_ref, gacc_ref):
-        unit = sf_ref[0, 0, SF_UNIT]
-        vis = sf_ref[0, 0, SF_VIS]
-        x_off = sf_ref[0, 0, SF_XOFF]
-        y_off = sf_ref[0, 0, SF_YOFF]
+        # B envs per program: amortizes per-program pipeline overhead
+        def render_one(b, _):
+            return _render_env(
+                b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
+                enti_ref, decf_ref, deci_ref, bg_ref, grid_ref, ent_ref,
+                out_ref, ecanv_ref, dcanv_ref, gacc_ref,
+            )
+
+        jax.lax.fori_loop(0, B, render_one, 0)
+
+    def _render_env(b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
+                    enti_ref, decf_ref, deci_ref, bg_ref, grid_ref, ent_ref,
+                    out_ref, ecanv_ref, dcanv_ref, gacc_ref):
+        unit = sf_ref[b, 0, SF_UNIT]
+        vis = sf_ref[b, 0, SF_VIS]
+        x_off = sf_ref[b, 0, SF_XOFF]
+        y_off = sf_ref[b, 0, SF_YOFF]
 
         sy = iota_col(res).astype(f32) + 0.5  # [res,1] screen y
         sx_r = iota_row(res).astype(f32) + 0.5  # [1,res] screen x
@@ -425,12 +439,12 @@ def _make_kernel(plan: PallasPlan):
 
         # ---- background (renderer._paint_background) --------------------
         if use_bg:
-            mr_x = sf_ref[0, 0, SF_MRX]
-            mr_y = sf_ref[0, 0, SF_MRY]
-            mr_w = sf_ref[0, 0, SF_MRW]
-            mr_h = sf_ref[0, 0, SF_MRH]
+            mr_x = sf_ref[b, 0, SF_MRX]
+            mr_y = sf_ref[b, 0, SF_MRY]
+            mr_w = sf_ref[b, 0, SF_MRW]
+            mr_h = sf_ref[b, 0, SF_MRH]
             if bg_tiled:
-                tile_h = sf_ref[0, 0, SF_TILEH]
+                tile_h = sf_ref[b, 0, SF_TILEH]
                 fy = (sy - mr_y) / tile_h
                 frac_y = fy - jnp.floor(fy)
                 row_idx = jnp.clip((frac_y * BH).astype(i32), 0, BH - 1)
@@ -440,8 +454,8 @@ def _make_kernel(plan: PallasPlan):
                 in_y = (sy >= mr_y) & (sy < mr_y + mr_h)
                 in_x = (sx_r >= mr_x) & (sx_r < mr_x + mr_w)
             else:
-                bgr_x = sf_ref[0, 0, SF_BGRX]
-                bgr_w = sf_ref[0, 0, SF_BGRW]
+                bgr_x = sf_ref[b, 0, SF_BGRX]
+                bgr_w = sf_ref[b, 0, SF_BGRW]
                 row_idx = jnp.clip(
                     ((sy - mr_y) / mr_h * BH).astype(i32), 0, BH - 1
                 )
@@ -459,13 +473,12 @@ def _make_kernel(plan: PallasPlan):
                 (jax.lax.broadcasted_iota(i32, (BW, res), 0) == col_idx)
                 & in_x
             ).astype(bf16)  # [BW, res]
-            bgrow = si_ref[0, 0, SI_BGROW]
+            bgrow = si_ref[b, 0, SI_BGROW]
             obs = []
             for c in range(3):
                 img_c = bg_ref[pl.ds((c * nb + bgrow) * BH, BH), :]
                 t1 = jnp.dot(R, img_c, preferred_element_type=f32)
-                samp = jnp.dot(t1, Ct, preferred_element_type=f32)
-                obs.append(samp.astype(f32))
+                obs.append(jnp.dot(t1, Ct, preferred_element_type=f32))
         else:
             obs = [jnp.zeros((res, res), f32) for _ in range(3)]
 
@@ -479,35 +492,35 @@ def _make_kernel(plan: PallasPlan):
 
         def sprite_pass(n_slots, f_ref, i_ref, canv_ref):
             for i in range(n_slots):
-                live = i_ref[0, i, EI_LIVE]
-                zi = i_ref[0, i, EI_Z]
+                live = i_ref[b, i, EI_LIVE]
+                zi = i_ref[b, i, EI_Z]
 
                 @pl.when((live > 0) & (zi >= 0))
                 def _():
-                    x0 = f_ref[0, i, EF_X0]
-                    y0 = f_ref[0, i, EF_Y0]
-                    w2 = f_ref[0, i, EF_W2]
-                    h2 = f_ref[0, i, EF_H2]
+                    x0 = f_ref[b, i, EF_X0]
+                    y0 = f_ref[b, i, EF_Y0]
+                    w2 = f_ref[b, i, EF_W2]
+                    h2 = f_ref[b, i, EF_H2]
                     u = (sx_r - x0) / w2  # [1,res]
                     v = (sy - y0) / h2  # [res,1]
                     xvalid = (u >= 0) & (u < 1)
                     yvalid = (v >= 0) & (v < 1)
 
-                    ut = u * i_ref[0, i, EI_NTH].astype(f32)
-                    vt = v * i_ref[0, i, EI_NTV].astype(f32)
+                    ut = u * i_ref[b, i, EI_NTH].astype(f32)
+                    vt = v * i_ref[b, i, EI_NTV].astype(f32)
                     u_ = jnp.where(
-                        i_ref[0, i, EI_TILEH] > 0, ut - jnp.floor(ut), u
+                        i_ref[b, i, EI_TILEH] > 0, ut - jnp.floor(ut), u
                     )
                     v_ = jnp.where(
-                        i_ref[0, i, EI_TILEV] > 0, vt - jnp.floor(vt), v
+                        i_ref[b, i, EI_TILEV] > 0, vt - jnp.floor(vt), v
                     )
                     ui = jnp.clip((u_ * S).astype(i32), 0, S - 1)
                     vi = jnp.clip((v_ * S).astype(i32), 0, S - 1)
                     pidx = jnp.where(
-                        i_ref[0, i, EI_PFLIP] > 0, S - 1 - vi, vi
+                        i_ref[b, i, EI_PFLIP] > 0, S - 1 - vi, vi
                     )  # [res,1]
                     qidx = jnp.where(
-                        i_ref[0, i, EI_QFLIP] > 0, S - 1 - ui, ui
+                        i_ref[b, i, EI_QFLIP] > 0, S - 1 - ui, ui
                     )  # [1,res]
 
                     Ry = (
@@ -520,16 +533,16 @@ def _make_kernel(plan: PallasPlan):
                     ).astype(bf16)
 
                     cover = (yvalid & xvalid).astype(f32)  # [res,res]
-                    fb = i_ref[0, i, EI_FB] > 0
-                    row2 = i_ref[0, i, EI_ROW]
-                    alpha_e = f_ref[0, i, EF_ALPHA]
+                    fb = i_ref[b, i, EI_FB] > 0
+                    row2 = i_ref[b, i, EI_ROW]
+                    alpha_e = f_ref[b, i, EF_ALPHA]
 
                     # alpha channel first
                     img_a = ent_ref[pl.ds((3 * 2 * n1e + row2) * S, S), :]
                     samp_a = jnp.dot(
                         jnp.dot(Ry, img_a, preferred_element_type=f32),
                         Cxt, preferred_element_type=f32,
-                    ).astype(f32)
+                    )
                     a = jnp.where(
                         fb, cover, samp_a * (1.0 / 255.0) * alpha_e * cover
                     )
@@ -542,8 +555,8 @@ def _make_kernel(plan: PallasPlan):
                         samp_c = jnp.dot(
                             jnp.dot(Ry, img_c, preferred_element_type=f32),
                             Cxt, preferred_element_type=f32,
-                        ).astype(f32)
-                        rgb_c = jnp.where(fb, f_ref[0, i, EF_R + c], samp_c)
+                        )
+                        rgb_c = jnp.where(fb, f_ref[b, i, EF_R + c], samp_c)
                         old = canv_ref[zoff + c]
                         canv_ref[zoff + c] = (
                             (rgb_c * a + old * (1 - a)).astype(bf16)
@@ -576,9 +589,9 @@ def _make_kernel(plan: PallasPlan):
         obs = paint_z(obs, -1)
 
         # ---- grid pass ---------------------------------------------------
-        rowmap = rowmap_ref[0]  # [NC, NC]
-        top_y = sf_ref[0, 0, SF_TOPY]
-        low_x = sf_ref[0, 0, SF_LOWX]
+        rowmap = rowmap_ref[b]  # [NC, NC]
+        top_y = sf_ref[b, 0, SF_TOPY]
+        low_x = sf_ref[b, 0, SF_LOWX]
 
         # canvas coords (renderer._paint_grid_tiles resample indices)
         cyx = (top_y - wys) * sA  # [res,1]
@@ -607,52 +620,78 @@ def _make_kernel(plan: PallasPlan):
                 jax.lax.broadcasted_iota(i32, (sA, res), 0) == ui_g
             ).astype(bf16)
 
-            # accumulate per atlas row into scratch (predicated writes need
-            # a ref); at most one row matches per pixel, so += is exact
-            gacc_ref[...] = jnp.zeros((4, res, res), f32)
-            for r in range(n1g):
-                cellmask = rowmap == r
+            # per-pixel atlas row id in ONE pick (integers exact in the
+            # one-hot matmul); row masks then cost an elementwise compare
+            # instead of two matmuls per row
+            row1 = jnp.dot(
+                jnp.dot(Py, (rowmap + 1).astype(bf16),
+                        preferred_element_type=f32),
+                Pxt, preferred_element_type=f32,
+            )  # 0 = untextured / outside window
+            covered = row1 > 0.5
 
-                @pl.when(jnp.any(cellmask))
-                def _(r=r, cellmask=cellmask):
-                    Mr = jnp.dot(
-                        jnp.dot(Py, cellmask.astype(bf16),
-                                preferred_element_type=f32),
-                        Pxt, preferred_element_type=f32,
-                    ).astype(f32)
+            # hoist the shared ui contraction out of the row loop: ONE
+            # matmul per channel gives every row's texels at the output
+            # columns; the per-row work is a single [res,sA]@[sA,res] dot
+            def chan_u(c):
+                imgs_c = grid_ref[
+                    pl.ds(c * n1g * sA, n1g * sA), :
+                ]  # [n1g*sA, sA]
+                return jnp.dot(imgs_c, Vxt, preferred_element_type=f32)
+
+            Us = [chan_u(c).astype(bf16) for c in range(4)]
+
+            # at most one row matches per pixel, so += is exact.  Small
+            # atlases accumulate in values; large ones skip absent rows
+            # behind a predicate (scalar sync only pays off when rows are
+            # likely absent).
+            values_mode = n1g <= 8
+
+            def row_chan(r, c):
+                return jnp.dot(Vy, Us[c][r * sA:(r + 1) * sA, :],
+                               preferred_element_type=f32)
+
+            if values_mode:
+                acc = [jnp.zeros((res, res), f32) for _ in range(4)]
+                for r in range(n1g):
+                    Mr = (row1 == (r + 1)).astype(f32)
                     for c in range(4):
-                        img_c = grid_ref[
-                            pl.ds((c * n1g + r) * sA, sA), :
-                        ]
-                        Ar = jnp.dot(
-                            jnp.dot(Vy, img_c, preferred_element_type=f32),
-                            Vxt, preferred_element_type=f32,
-                        ).astype(f32)
-                        gacc_ref[c] += Mr * Ar
+                        acc[c] = acc[c] + Mr * row_chan(r, c)
+                alpha = acc[3] * (1.0 / 255.0)
+                obs = [
+                    jnp.round(obs[c] * (1 - alpha) + acc[c] * alpha)
+                    for c in range(3)
+                ]
+            else:
+                gacc_ref[...] = jnp.zeros((4, res, res), f32)
+                for r in range(n1g):
+                    cellmask = rowmap == r
 
-            alpha = gacc_ref[3] * (1.0 / 255.0)
-            obs = [
-                jnp.round(obs[c] * (1 - alpha) + gacc_ref[c] * alpha)
-                for c in range(3)
-            ]
-            covered = (
-                jnp.dot(
-                    jnp.dot(Py, (rowmap >= 0).astype(bf16),
-                            preferred_element_type=f32),
-                    Pxt, preferred_element_type=f32,
-                ).astype(f32)
-                > 0.5
-            )
+                    @pl.when(jnp.any(cellmask))
+                    def _(r=r):
+                        Mr = (row1 == (r + 1)).astype(f32)
+                        for c in range(4):
+                            gacc_ref[c] += Mr * row_chan(r, c)
+
+                alpha = gacc_ref[3] * (1.0 / 255.0)
+                obs = [
+                    jnp.round(obs[c] * (1 - alpha) + gacc_ref[c] * alpha)
+                    for c in range(3)
+                ]
         else:
             covered = jnp.zeros((res, res), bool)
 
-        # colored cells (renderer grid_cell_colors path)
+        # colored cells (renderer grid_cell_colors path); the Pxt
+        # contraction of all 5 planes happens in ONE matmul.  f32 one-hots:
+        # the inset plane holds non-integers (chaser's 0.3) that a bf16
+        # pick would perturb — f32 picks are exact for any f32 value.
+        cell_flat = cell5_ref[b].reshape(5 * NC, NC)
+        U5 = jnp.dot(cell_flat, Pxt.astype(f32),
+                     preferred_element_type=f32)
+
         def cellpick(j):
-            return jnp.dot(
-                jnp.dot(Py, cell5_ref[0, j].astype(bf16),
-                        preferred_element_type=f32),
-                Pxt, preferred_element_type=f32,
-            ).astype(f32)
+            return jnp.dot(Py.astype(f32), U5[j * NC:(j + 1) * NC, :],
+                           preferred_element_type=f32)
 
         cvalid = cellpick(3) > 0.5
         inset = cellpick(4)
@@ -670,9 +709,17 @@ def _make_kernel(plan: PallasPlan):
 
         for c in range(3):
             # Mosaic has no f32->u8 cast; round-trip through int32
-            out_ref[0, c] = obs[c].astype(i32).astype(u8)
+            out_ref[b, c] = obs[c].astype(i32).astype(u8)
+        return 0
 
     return kernel
+
+
+def _pick_b(N: int) -> int:
+    for b in (8, 4, 2):
+        if N % b == 0:
+            return b
+    return 1
 
 
 def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
@@ -682,12 +729,13 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
     nz = len(plan.z_levels)
     nzd = len(plan.dz_levels)
     dcap_eff = dcap if dcap else 1
+    B = _pick_b(N)
 
-    kernel = _make_kernel(plan)
+    kernel = _make_kernel(plan, B)
 
     def row_block(shape, space=pltpu.VMEM):
         return pl.BlockSpec(
-            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            (B,) + shape, lambda i: (i,) + (0,) * len(shape),
             memory_space=space,
         )
 
@@ -699,7 +747,7 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, 3, res, res), u8),
-        grid=(N,),
+        grid=(N // B,),
         in_specs=[
             row_block((1, SF_N), pltpu.SMEM),
             row_block((1, SI_N), pltpu.SMEM),
