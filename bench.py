@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 200))
+GAME = os.environ.get("BENCH_GAME", "maze")
 PROFILE_DIR = os.environ.get("BENCH_PROFILE_DIR", "")  # jax.profiler trace
 BASELINE_STEPS_PER_SEC = 3000.0
 
@@ -30,7 +31,7 @@ def main():
 
     from __graft_entry__ import _make_env_fns
 
-    init, step, seeds = _make_env_fns(NUM_ENVS)
+    init, step, seeds = _make_env_fns(NUM_ENVS, GAME)
 
     init_jit = jax.jit(init)
     step_jit = jax.jit(step, donate_argnums=(0,))

@@ -125,6 +125,9 @@ class BasicAbstractGame:
     # canvas per level, so keeping this tight cuts render HBM traffic.
     ENT_Z_LEVELS: tuple = (0, 1)
     DECOR_Z_LEVELS: tuple = (0,)  # trails/explosions spawn at default z=0
+    PALLAS_BG: str = "standard"  # background mode of the fused render
+    # kernel: "standard" (crop / bg_tile_ratio tiling) or "scroll"
+    # (starpilot's time-scrolled tiles)
     ANY_COLLIDES_WITH_ENTITIES: bool = False  # O(E^2) dispatch needed
     DISPATCH_VECTORIZED: bool = False  # all collision handlers commute: use
     # the phased vectorised dispatch (handle_agent_collision_vec + optional

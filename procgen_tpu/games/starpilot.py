@@ -64,6 +64,7 @@ class StarpilotState:
 
 @register("starpilot")
 class Starpilot(BasicAbstractGame):
+    PALLAS_BG = "scroll"
     name = "starpilot"
     WORLD_DIM_MAX = (16, 16)
     ENT_CAP = 64

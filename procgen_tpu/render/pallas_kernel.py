@@ -59,8 +59,8 @@ EI_N = 10
  SF_BGRX, SF_BGRW, SF_TILEH, SF_TOPY, SF_LOWX) = range(13)
 SF_N = 13
 # scalar columns (i32)
-SI_BGROW, = range(1)
-SI_N = 1
+SI_BGROW, SI_ENT_COUNT, SI_DEC_COUNT = range(3)
+SI_N = 3
 
 
 class PallasPlan:
@@ -85,8 +85,16 @@ class PallasPlan:
         self.z_levels = tuple(game.ENT_Z_LEVELS)
         self.dz_levels = tuple(game.DECOR_Z_LEVELS)
 
+        self.procgen_bg = game.uses_procgen_background
         # --- background atlas: planar bf16 [3*nb*BH, BW] ------------------
-        if bg_atlas is not None:
+        if self.procgen_bg:
+            from . import assetgen as _ag
+
+            self.BH = self.BW = _ag.CAN
+            self.nb = 1
+            self.bg_flat = jnp.zeros((1, 1), bf16)  # source is per-env
+            self.bg_aspects = jnp.ones((1,), f32)
+        elif bg_atlas is not None:
             self.BH, self.BW = bg_atlas.BH, bg_atlas.BW
             self.nb = bg_atlas.pixels.shape[0]
             pix = bg_atlas.pixels.astype(np.float32)  # [nb, BH, BW, 3]
@@ -157,10 +165,9 @@ def supports(game, res: int = RES) -> bool:
     """Gate: games whose render path the kernel reproduces exactly."""
     if res != RES:
         return False
-    if game.uses_procgen_background:
-        return False  # per-env bg canvas source: v2
-    if type(game).paint_background is not _base_paint_background():
-        return False  # custom background (starpilot scroll): v2
+    if (game.PALLAS_BG == "standard"
+            and type(game).paint_background is not _base_paint_background()):
+        return False  # unknown custom background
     if type(game).grid_cell_colors not in _known_cell_colors():
         return False  # per-pixel cell patterns beyond the inset model
     if game.center_agent and getattr(game, "DYNAMIC_VISIBILITY", False):
@@ -217,8 +224,10 @@ def _prep_one(plan: PallasPlan, s):
     sf = sf.at[SF_UNIT].set(unit).at[SF_VIS].set(vis)
     sf = sf.at[SF_XOFF].set(x_off).at[SF_YOFF].set(y_off)
 
-    # background rect scalars (renderer._paint_background)
-    if plan.bg_atlas is not None and game.options.use_backgrounds:
+    # background rect scalars (renderer._paint_background /
+    # starpilot.paint_background for the scroll mode)
+    if ((plan.bg_atlas is not None or plan.procgen_bg)
+            and game.options.use_backgrounds):
         mr_x = -x_off
         mr_y = (vis - h) * unit + y_off
         mr_w = w * unit
@@ -227,7 +236,20 @@ def _prep_one(plan: PallasPlan, s):
         sf = sf.at[SF_MRW].set(mr_w).at[SF_MRH].set(mr_h)
         bi = jnp.clip(s.background_index, 0, plan.nb - 1)
         si = si.at[SI_BGROW].set(bi)
-        if game.bg_tile_ratio < 0:
+        if plan.procgen_bg:
+            # per-level painted canvas: square, aspect ratio 1 (renderer:94)
+            bg_ar = f32(1.0)
+            world_ar = w / h
+            extra_w = bg_ar - world_ar
+            offx = s.bg_pct_x * extra_w
+            sf = sf.at[SF_BGRX].set(mr_x + mr_w * (-offx))
+            sf = sf.at[SF_BGRW].set(mr_w * bg_ar / world_ar)
+        elif game.PALLAS_BG == "scroll":
+            scale = f32(res) / h
+            sf = sf.at[SF_BGRX].set(
+                -s.cur_time.astype(f32) * scale * game.hp_slow_v * 2.0 / 5.0
+            )
+        elif game.bg_tile_ratio < 0:
             ratio = -game.bg_tile_ratio
             num_tiles = jnp.maximum((mr_h / (mr_w * ratio)).astype(i32), 1)
             sf = sf.at[SF_TILEH].set(mr_h / num_tiles.astype(f32))
@@ -238,6 +260,10 @@ def _prep_one(plan: PallasPlan, s):
             offx = s.bg_pct_x * extra_w
             sf = sf.at[SF_BGRX].set(mr_x + mr_w * (-offx))
             sf = sf.at[SF_BGRW].set(mr_w * bg_ar / world_ar)
+
+    si = si.at[SI_ENT_COUNT].set(s.ents.count)
+    if plan.dcap:
+        si = si.at[SI_DEC_COUNT].set(s.decor.count)
 
     # grid cell window (renderer._paint_grid_tiles)
     wmax, hmax = game.WORLD_DIM_MAX
@@ -289,6 +315,11 @@ def _prep_one(plan: PallasPlan, s):
         axis=0,
     )  # [5, NC, NC]
 
+    if plan.procgen_bg and s.bg_canvas is not None:
+        bgc = jnp.transpose(s.bg_canvas, (2, 0, 1)).astype(jnp.bfloat16)
+    else:
+        bgc = jnp.zeros((3, 1, 1), jnp.bfloat16)
+
     ent_f, ent_i = _prep_pool(
         plan, s, s.ents, game.should_draw_entity_mask(s), plan.z_levels,
         res, unit, vis, x_off, y_off,
@@ -302,7 +333,7 @@ def _prep_one(plan: PallasPlan, s):
         dec_f = jnp.zeros((1, EF_N), f32)
         dec_i = jnp.zeros((1, EI_N), i32)
 
-    return sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i
+    return sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc
 
 
 def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
@@ -400,8 +431,11 @@ def _make_kernel(plan: PallasPlan, B: int):
     cap, dcap = plan.cap, plan.dcap
     nz = len(plan.z_levels)
     nzd = len(plan.dz_levels)
-    use_bg = plan.bg_atlas is not None and plan.game.options.use_backgrounds
+    use_bg = ((plan.bg_atlas is not None or plan.procgen_bg)
+              and plan.game.options.use_backgrounds)
     bg_tiled = plan.game.bg_tile_ratio < 0
+    bg_scroll = plan.game.PALLAS_BG == "scroll"
+    bg_procgen = plan.procgen_bg
     has_grid_tex = plan.grid_atlas is not None and n1g > 0
 
     # pixel-center screen coordinates, as column [res,1] / row [1,res]
@@ -412,21 +446,21 @@ def _make_kernel(plan: PallasPlan, B: int):
         return jax.lax.broadcasted_iota(i32, (1, n), 1)
 
     def kernel(sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref, enti_ref,
-               decf_ref, deci_ref, bg_ref, grid_ref, ent_ref, out_ref,
-               ecanv_ref, dcanv_ref, gacc_ref):
+               decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref, ent_ref,
+               out_ref, ecanv_ref, dcanv_ref, gacc_ref):
         # B envs per program: amortizes per-program pipeline overhead
         def render_one(b, _):
             return _render_env(
                 b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
-                enti_ref, decf_ref, deci_ref, bg_ref, grid_ref, ent_ref,
-                out_ref, ecanv_ref, dcanv_ref, gacc_ref,
+                enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref,
+                ent_ref, out_ref, ecanv_ref, dcanv_ref, gacc_ref,
             )
 
         jax.lax.fori_loop(0, B, render_one, 0)
 
     def _render_env(b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
-                    enti_ref, decf_ref, deci_ref, bg_ref, grid_ref, ent_ref,
-                    out_ref, ecanv_ref, dcanv_ref, gacc_ref):
+                    enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref,
+                    ent_ref, out_ref, ecanv_ref, dcanv_ref, gacc_ref):
         unit = sf_ref[b, 0, SF_UNIT]
         vis = sf_ref[b, 0, SF_VIS]
         x_off = sf_ref[b, 0, SF_XOFF]
@@ -443,7 +477,21 @@ def _make_kernel(plan: PallasPlan, B: int):
             mr_y = sf_ref[b, 0, SF_MRY]
             mr_w = sf_ref[b, 0, SF_MRW]
             mr_h = sf_ref[b, 0, SF_MRH]
-            if bg_tiled:
+            if bg_scroll and not bg_procgen:
+                # starpilot time-scrolled tiles (starpilot.cpp:107-122)
+                bg_xoff = sf_ref[b, 0, SF_BGRX]
+                side = 3.0 * res
+                tx = sx_r - bg_xoff
+                fx = tx / side
+                col_idx = jnp.clip(
+                    ((fx - jnp.floor(fx)) * BW).astype(i32), 0, BW - 1
+                )
+                in_x = (tx >= 0) & (tx < 18.0 * side)
+                row_idx = jnp.clip(
+                    ((sy + f32(res)) / side * BH).astype(i32), 0, BH - 1
+                )
+                in_y = sy > -jnp.inf
+            elif bg_tiled:
                 tile_h = sf_ref[b, 0, SF_TILEH]
                 fy = (sy - mr_y) / tile_h
                 frac_y = fy - jnp.floor(fy)
@@ -476,7 +524,10 @@ def _make_kernel(plan: PallasPlan, B: int):
             bgrow = si_ref[b, 0, SI_BGROW]
             obs = []
             for c in range(3):
-                img_c = bg_ref[pl.ds((c * nb + bgrow) * BH, BH), :]
+                if bg_procgen:
+                    img_c = bgc_ref[b, c]  # per-env painted canvas
+                else:
+                    img_c = bg_ref[pl.ds((c * nb + bgrow) * BH, BH), :]
                 t1 = jnp.dot(R, img_c, preferred_element_type=f32)
                 obs.append(jnp.dot(t1, Ct, preferred_element_type=f32))
         else:
@@ -490,13 +541,11 @@ def _make_kernel(plan: PallasPlan, B: int):
         if dcap:
             zero(dcanv_ref, nzd)
 
-        def sprite_pass(n_slots, f_ref, i_ref, canv_ref):
-            for i in range(n_slots):
+        def sprite_pass(n_slots, f_ref, i_ref, canv_ref, nz_pool, count):
+            def slot_body(i):
                 live = i_ref[b, i, EI_LIVE]
                 zi = i_ref[b, i, EI_Z]
-
-                @pl.when((live > 0) & (zi >= 0))
-                def _():
+                if True:
                     x0 = f_ref[b, i, EF_X0]
                     y0 = f_ref[b, i, EF_Y0]
                     w2 = f_ref[b, i, EF_W2]
@@ -546,8 +595,12 @@ def _make_kernel(plan: PallasPlan, B: int):
                     a = jnp.where(
                         fb, cover, samp_a * (1.0 / 255.0) * alpha_e * cover
                     )
+                    # dead / foreign-z slots compose with a=0, which is an
+                    # exact identity through the bf16 round-trip — same
+                    # values the XLA path's masked update produces
+                    a = jnp.where((live > 0) & (zi >= 0), a, 0.0)
 
-                    zoff = zi * 4
+                    zoff = jnp.clip(zi, 0, nz_pool - 1) * 4
                     for c in range(3):
                         img_c = ent_ref[
                             pl.ds((c * 2 * n1e + row2) * S, S), :
@@ -566,9 +619,22 @@ def _make_kernel(plan: PallasPlan, B: int):
                         (a + old_a * (1 - a)).astype(bf16)
                     ).astype(f32)
 
-        sprite_pass(cap, entf_ref, enti_ref, ecanv_ref)
+            if n_slots <= 8:
+                # small pools: static unroll
+                for i in range(n_slots):
+                    slot_body(i)
+            else:
+                # pools are contiguously compacted (Entities.compact), so
+                # looping to the live count skips dead slots entirely
+                jax.lax.fori_loop(
+                    0, count, lambda i, _: (slot_body(i), 0)[1], 0
+                )
+
+        sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
+                    si_ref[b, 0, SI_ENT_COUNT])
         if dcap:
-            sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref)
+            sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref, nzd,
+                        si_ref[b, 0, SI_DEC_COUNT])
 
         def apply_canvas(obs, canv_ref, zoff):
             a = canv_ref[zoff + 3]
@@ -753,10 +819,12 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
             row_block((1, SI_N), pltpu.SMEM),
             row_block((NC, NC)),
             row_block((5, NC, NC)),
-            row_block((cap, EF_N), pltpu.SMEM),
-            row_block((cap, EI_N), pltpu.SMEM),
-            row_block((dcap_eff, EF_N), pltpu.SMEM),
-            row_block((dcap_eff, EI_N), pltpu.SMEM),
+            row_block((cap, EF_N)),
+            row_block((cap, EI_N)),
+            row_block((dcap_eff, EF_N)),
+            row_block((dcap_eff, EI_N)),
+            row_block((3,) + ((plan.BH, plan.BW) if plan.procgen_bg
+                              else (1, 1))),
             const_block(plan.bg_flat),
             const_block(plan.grid_flat),
             const_block(plan.ent_flat),
@@ -779,13 +847,13 @@ def render_obs_batch(game, states, res: int = RES, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     prep = jax.vmap(lambda s: _prep_one(plan, s))(states)
-    sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i = prep
+    sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc = prep
     N = sf.shape[0]
     sf = sf.reshape(N, 1, SF_N)
     si = si.reshape(N, 1, SI_N)
     call = _pallas_call(plan, N, interpret)
     out = call(
-        sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i,
+        sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc,
         plan.bg_flat, plan.grid_flat, plan.ent_flat,
     )
     obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)

@@ -30,7 +30,7 @@ def _mk_states(game, n, seed=0):
 @pytest.mark.parametrize("env_name", [
     "maze", "miner", "chaser", "bigfish", "coinrun", "heist", "ninja",
     "leaper", "caveflyer", "plunder", "climber", "jumper", "dodgeball",
-    "fruitbot", "bossfight",
+    "fruitbot", "bossfight", "starpilot",
 ])
 def test_pallas_matches_xla(env_name):
     game = make_game(env_name, GameOptions(distribution_mode=EASY_MODE))
@@ -49,6 +49,27 @@ def test_pallas_matches_xla(env_name):
     for t in range(6):
         states = step(states, jnp.asarray(rng.randint(0, 15, size=n)))
 
+    ref = jax.jit(jax.vmap(lambda s: render_obs(game, s, 64)))(states)
+    out = jax.jit(
+        lambda st: pallas_kernel.render_obs_batch(game, st, 64,
+                                                  interpret=True)
+    )(states)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_pallas_generated_assets_bg():
+    """Generated-assets mode: the per-env painted background canvas is the
+    bg source inside the kernel; frames stay bit-equal to the XLA path."""
+    from procgen_tpu.core.constants import fnv1a_32
+
+    game = make_game(
+        "maze",
+        GameOptions(distribution_mode=EASY_MODE, use_generated_assets=True),
+    )
+    game.level_seed_low, game.level_seed_high = 0, INT32_MAX
+    game.fixed_asset_seed = int(np.int32(np.uint32(fnv1a_32("maze"))))
+    assert pallas_kernel.supports(game)
+    states = _mk_states(game, 4)
     ref = jax.jit(jax.vmap(lambda s: render_obs(game, s, 64)))(states)
     out = jax.jit(
         lambda st: pallas_kernel.render_obs_batch(game, st, 64,
