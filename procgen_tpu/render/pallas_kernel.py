@@ -111,22 +111,23 @@ class PallasPlan:
             self.bg_flat = jnp.zeros((3 * 8, 8), bf16)
             self.bg_aspects = jnp.ones((1,), f32)
 
-        # --- grid atlas rows for the prep-side canvas assembly: the
-        # per-env [4, NC*sA, NC*sA] canvas is assembled OUTSIDE the kernel
-        # as one batched one-hot matmul (huge M over envs*cells -> MXU
-        # efficient); the kernel only does the separable resample ---------
+        # --- grid atlas: planar bf16 [4*n1g*sA, sA] (lane slices at
+        # non-128 offsets cost vector shifts; sublane slices are cheap) ----
         if grid_atlas is not None:
             self.sA = grid_atlas.tile_px
             rows = grid_atlas.rows.astype(np.float32)  # [n1, sA, sA, 4]
             self.n1g = rows.shape[0] - 1  # exclude transparent row
-            self.grid_rows_flat = jnp.asarray(
-                rows[: self.n1g].reshape(self.n1g, -1), bf16
-            )  # [n1g, sA*sA*4]
+            g = rows[: self.n1g]
+            self.grid_flat = jnp.asarray(
+                np.transpose(g, (3, 0, 1, 2)).reshape(
+                    4 * self.n1g * self.sA, self.sA
+                ),
+                bf16,
+            )
         else:
             self.sA = 2
             self.n1g = 0
-            self.grid_rows_flat = jnp.zeros((1, 2 * 2 * 4), bf16)
-        self.GS = self.NC * self.sA
+            self.grid_flat = jnp.zeros((4 * 1 * 2, 2), bf16)
 
         # --- entity atlas + transposed variants: planar [4*2*n1e*S, S] ----
         if ent_atlas is not None:
@@ -156,10 +157,7 @@ def get_plan(game, res: int) -> PallasPlan:
            game.options.use_generated_assets and int(game.fixed_asset_seed),
            game.options.use_monochrome_assets)
     if key not in _PLANS:
-        # the plan is cached across traces, so its device constants must be
-        # concrete even when the first call happens under an active jit
-        with jax.ensure_compile_time_eval():
-            _PLANS[key] = PallasPlan(game, res)
+        _PLANS[key] = PallasPlan(game, res)
     return _PLANS[key]
 
 
@@ -300,40 +298,22 @@ def _prep_one(plan: PallasPlan, s):
     else:
         rowmap = jnp.full((NC, NC), -1, i32)
 
-    # assembled tile canvas [4, NC*sA, NC*sA] bf16 (renderer._paint_grid_
-    # tiles assembly, batched over envs by the caller's vmap into one
-    # MXU-shaped matmul); texels are integers <= 255, exact in bf16
-    if plan.grid_atlas is not None and plan.n1g > 0:
-        sA = plan.sA
-        oh = (rowmap.reshape(-1)[:, None]
-              == jnp.arange(plan.n1g)[None, :]).astype(bf16)
-        cv4 = jnp.dot(oh, plan.grid_rows_flat, preferred_element_type=bf16)
-        cv4 = cv4.reshape(NC, NC, sA, sA, 4)
-        canvas = jnp.transpose(cv4, (4, 0, 2, 1, 3)).reshape(
-            4, plan.GS, plan.GS
-        )
-    else:
-        canvas = jnp.zeros((4, 1, 1), bf16)
-
-    # colored-cell planes: r,g,b,valid,inset,covered (cell-center
-    # evaluation; chaser's orb inset is the only per-pixel pattern,
-    # grid_cell_inset).  covered marks textured cells so the colored-rect
-    # path skips them (the 5th atlas channel in renderer.py).
+    # colored-cell planes: r,g,b,valid,inset (cell-center evaluation;
+    # chaser's orb inset is the only per-pixel pattern, grid_cell_inset)
     cv, cr, cg, cb = game.grid_cell_colors(
         s, gt, jnp.full((NC, NC), 0.5, f32), jnp.full((NC, NC), 0.5, f32)
     )
     inset = game.grid_cell_inset(s, gt)
-    cell6 = jnp.stack(
+    cell5 = jnp.stack(
         [
             jnp.broadcast_to(jnp.asarray(cr, f32), (NC, NC)),
             jnp.broadcast_to(jnp.asarray(cg, f32), (NC, NC)),
             jnp.broadcast_to(jnp.asarray(cb, f32), (NC, NC)),
             jnp.broadcast_to(cv.astype(f32), (NC, NC)),
             jnp.broadcast_to(jnp.asarray(inset, f32), (NC, NC)),
-            (rowmap >= 0).astype(f32),
         ],
         axis=0,
-    )  # [6, NC, NC]
+    )  # [5, NC, NC]
 
     if plan.procgen_bg and s.bg_canvas is not None:
         bgc = jnp.transpose(s.bg_canvas, (2, 0, 1)).astype(jnp.bfloat16)
@@ -353,7 +333,7 @@ def _prep_one(plan: PallasPlan, s):
         dec_f = jnp.zeros((1, EF_N), f32)
         dec_i = jnp.zeros((1, EI_N), i32)
 
-    return sf, si, canvas, cell6, ent_f, ent_i, dec_f, dec_i, bgc
+    return sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc
 
 
 def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
@@ -465,22 +445,22 @@ def _make_kernel(plan: PallasPlan, B: int):
     def iota_row(n):
         return jax.lax.broadcasted_iota(i32, (1, n), 1)
 
-    def kernel(sf_ref, si_ref, canvas_ref, cell6_ref, entf_ref, enti_ref,
-               decf_ref, deci_ref, bgc_ref, bg_ref, ent_ref,
-               out_ref, ecanv_ref, dcanv_ref):
+    def kernel(sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref, enti_ref,
+               decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref, ent_ref,
+               out_ref, ecanv_ref, dcanv_ref, gacc_ref):
         # B envs per program: amortizes per-program pipeline overhead
         def render_one(b, _):
             return _render_env(
-                b, sf_ref, si_ref, canvas_ref, cell6_ref, entf_ref,
-                enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
-                ent_ref, out_ref, ecanv_ref, dcanv_ref,
+                b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
+                enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref,
+                ent_ref, out_ref, ecanv_ref, dcanv_ref, gacc_ref,
             )
 
         jax.lax.fori_loop(0, B, render_one, 0)
 
-    def _render_env(b, sf_ref, si_ref, canvas_ref, cell6_ref, entf_ref,
-                    enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
-                    ent_ref, out_ref, ecanv_ref, dcanv_ref):
+    def _render_env(b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
+                    enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref,
+                    ent_ref, out_ref, ecanv_ref, dcanv_ref, gacc_ref):
         unit = sf_ref[b, 0, SF_UNIT]
         vis = sf_ref[b, 0, SF_VIS]
         x_off = sf_ref[b, 0, SF_XOFF]
