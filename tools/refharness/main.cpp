@@ -27,6 +27,10 @@
 #include <string>
 #include <vector>
 
+// debug introspection of protected members (agent/entities) — harness only
+#define protected public
+#include "basic-abstract-game.h"
+#undef protected
 #include "game-registry.h"
 #include "game.h"
 #include "resources.h"
@@ -64,6 +68,7 @@ struct Args {
     int start_level = 0;
     int distribution_mode = 1; // HardMode
     bool latents = false;
+    bool debug_agent = false;
     // game options consumed by Game::parse_options (game.cpp:62-95)
     bool paint_vel_info = false;
     bool use_generated_assets = false;
@@ -99,6 +104,8 @@ static Args parse_args(int argc, char **argv) {
             a.distribution_mode = next_int();
         else if (k == "--latents")
             a.latents = true;
+        else if (k == "--debug-agent")
+            a.debug_agent = true;
         else if (k == "--paint-vel-info")
             a.paint_vel_info = true;
         else if (k == "--use-generated-assets")
@@ -182,8 +189,9 @@ static void print_latents(const std::vector<Game *> &games) {
 int main(int argc, char **argv) {
     Args a = parse_args(argc, argv);
 
-    // global_init (vecgame.cpp:144-153)
-    images_load("");
+    // global_init (vecgame.cpp:144-153); the resource root feeds real PNG
+    // dimensions into asset_aspect_ratios (logic-relevant)
+    images_load("/root/reference/procgen/data/assets/");
     coinrun_old_init(a.rand_seed);
 
     // level-seed range (vecgame.cpp:332-341)
@@ -278,6 +286,18 @@ int main(int argc, char **argv) {
         printf("]");
         if (a.latents)
             print_latents(games);
+        if (a.debug_agent) {
+            // agent kinematics + entity census for physics-divergence hunts
+            printf(", \"agents\": [");
+            for (int e = 0; e < a.num; e++) {
+                auto *bg = dynamic_cast<BasicAbstractGame *>(games[e]);
+                printf(
+                    "%s[%.9g, %.9g, %.9g, %.9g, %.9g, %zu]", e ? ", " : "",
+                    bg->agent->x, bg->agent->y, bg->agent->vx, bg->agent->vy,
+                    bg->agent->rx, bg->entities.size());
+            }
+            printf("]");
+        }
         printf("}\n");
     }
 
