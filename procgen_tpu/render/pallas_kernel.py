@@ -35,9 +35,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from ..core.constants import INVALID_OBJ, SPACE
 from . import renderer as xr
 from .atlas import get_atlases
+
+# Perf-ablation hook (tools/profile_render.py): comma list of passes to skip
+# (bg, sprite, grid, cell).  Debug-only — skipping breaks bit-parity.
+_ABLATE = frozenset(
+    filter(None, os.environ.get("PROCGEN_TPU_KERNEL_ABLATE", "").split(","))
+)
 
 f32 = jnp.float32
 i32 = jnp.int32
@@ -111,23 +119,17 @@ class PallasPlan:
             self.bg_flat = jnp.zeros((3 * 8, 8), bf16)
             self.bg_aspects = jnp.ones((1,), f32)
 
-        # --- grid atlas: planar bf16 [4*n1g*sA, sA] (lane slices at
-        # non-128 offsets cost vector shifts; sublane slices are cheap) ----
+        # --- grid tiles: resampled in-kernel from a per-env aligned canvas
+        # built by prep (renderer.grid_tile_canvas) — [5, GS, GS] planar
+        # bf16 (RGBA + covered), GS = NC*sA ----------------------------------
         if grid_atlas is not None:
             self.sA = grid_atlas.tile_px
-            rows = grid_atlas.rows.astype(np.float32)  # [n1, sA, sA, 4]
-            self.n1g = rows.shape[0] - 1  # exclude transparent row
-            g = rows[: self.n1g]
-            self.grid_flat = jnp.asarray(
-                np.transpose(g, (3, 0, 1, 2)).reshape(
-                    4 * self.n1g * self.sA, self.sA
-                ),
-                bf16,
-            )
+            self.n1g = grid_atlas.rows.shape[0] - 1  # excl. transparent row
+            self.GS = self.NC * self.sA
         else:
             self.sA = 2
             self.n1g = 0
-            self.grid_flat = jnp.zeros((4 * 1 * 2, 2), bf16)
+            self.GS = 1  # placeholder canvas (5, 1, 1)
 
         # --- entity atlas + transposed variants: planar [4*2*n1e*S, S] ----
         if ent_atlas is not None:
@@ -288,15 +290,15 @@ def _prep_one(plan: PallasPlan, s):
     )[None, :]
     gt = jnp.where(inb, gt, oob_val)
 
-    # textured rows per cell (-1 = untextured)
+    # per-env aligned tile canvas (renderer.grid_tile_canvas): the kernel
+    # resamples it with the identical separable picks, planar [5, GS, GS]
     if plan.grid_atlas is not None:
-        img = game.image_for_type(s, gt)
-        theme = game.theme_for_grid_obj(s, gt)
-        img = jnp.where(gt == INVALID_OBJ, -1, img)
-        row = plan.grid_atlas.row_for(img, game.mask_theme(img, theme))
-        rowmap = jnp.where(row == plan.grid_atlas.transparent_row, -1, row)
+        canvas, _, _ = xr.grid_tile_canvas(s=s, game=game, atlas=plan.grid_atlas)
+        # u8 halves the HBM traffic of the per-env canvas; values are exact
+        # u8 integers so the kernel-side bf16 cast loses nothing
+        gcanvas = jnp.transpose(canvas, (2, 0, 1)).astype(u8)
     else:
-        rowmap = jnp.full((NC, NC), -1, i32)
+        gcanvas = jnp.zeros((5, 1, 1), u8)
 
     # colored-cell planes: r,g,b,valid,inset (cell-center evaluation;
     # chaser's orb inset is the only per-pixel pattern, grid_cell_inset)
@@ -333,7 +335,7 @@ def _prep_one(plan: PallasPlan, s):
         dec_f = jnp.zeros((1, EF_N), f32)
         dec_i = jnp.zeros((1, EI_N), i32)
 
-    return sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc
+    return sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc
 
 
 def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
@@ -432,11 +434,13 @@ def _make_kernel(plan: PallasPlan, B: int):
     nz = len(plan.z_levels)
     nzd = len(plan.dz_levels)
     use_bg = ((plan.bg_atlas is not None or plan.procgen_bg)
-              and plan.game.options.use_backgrounds)
+              and plan.game.options.use_backgrounds
+              and "bg" not in _ABLATE)
     bg_tiled = plan.game.bg_tile_ratio < 0
     bg_scroll = plan.game.PALLAS_BG == "scroll"
     bg_procgen = plan.procgen_bg
-    has_grid_tex = plan.grid_atlas is not None and n1g > 0
+    has_grid_tex = (plan.grid_atlas is not None and n1g > 0
+                    and "grid" not in _ABLATE)
 
     # pixel-center screen coordinates, as column [res,1] / row [1,res]
     def iota_col(n):
@@ -445,22 +449,22 @@ def _make_kernel(plan: PallasPlan, B: int):
     def iota_row(n):
         return jax.lax.broadcasted_iota(i32, (1, n), 1)
 
-    def kernel(sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref, enti_ref,
-               decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref, ent_ref,
-               out_ref, ecanv_ref, dcanv_ref, gacc_ref):
+    def kernel(sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref, enti_ref,
+               decf_ref, deci_ref, bgc_ref, bg_ref, ent_ref,
+               out_ref, ecanv_ref, dcanv_ref):
         # B envs per program: amortizes per-program pipeline overhead
         def render_one(b, _):
             return _render_env(
-                b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
-                enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref,
-                ent_ref, out_ref, ecanv_ref, dcanv_ref, gacc_ref,
+                b, sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref,
+                enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
+                ent_ref, out_ref, ecanv_ref, dcanv_ref,
             )
 
         jax.lax.fori_loop(0, B, render_one, 0)
 
-    def _render_env(b, sf_ref, si_ref, rowmap_ref, cell5_ref, entf_ref,
-                    enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref, grid_ref,
-                    ent_ref, out_ref, ecanv_ref, dcanv_ref, gacc_ref):
+    def _render_env(b, sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref,
+                    enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
+                    ent_ref, out_ref, ecanv_ref, dcanv_ref):
         unit = sf_ref[b, 0, SF_UNIT]
         vis = sf_ref[b, 0, SF_VIS]
         x_off = sf_ref[b, 0, SF_XOFF]
@@ -630,11 +634,12 @@ def _make_kernel(plan: PallasPlan, B: int):
                     0, count, lambda i, _: (slot_body(i), 0)[1], 0
                 )
 
-        sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
-                    si_ref[b, 0, SI_ENT_COUNT])
-        if dcap:
-            sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref, nzd,
-                        si_ref[b, 0, SI_DEC_COUNT])
+        if "sprite" not in _ABLATE:
+            sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
+                        si_ref[b, 0, SI_ENT_COUNT])
+            if dcap:
+                sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref, nzd,
+                            si_ref[b, 0, SI_DEC_COUNT])
 
         def apply_canvas(obs, canv_ref, zoff):
             a = canv_ref[zoff + 3]
@@ -654,96 +659,51 @@ def _make_kernel(plan: PallasPlan, B: int):
 
         obs = paint_z(obs, -1)
 
-        # ---- grid pass ---------------------------------------------------
-        rowmap = rowmap_ref[b]  # [NC, NC]
+        # ---- grid pass: separable resample of the prep-built canvas ------
+        # (renderer._paint_grid_tiles — bit-identical pick construction)
         top_y = sf_ref[b, 0, SF_TOPY]
         low_x = sf_ref[b, 0, SF_LOWX]
 
-        # canvas coords (renderer._paint_grid_tiles resample indices)
-        cyx = (top_y - wys) * sA  # [res,1]
+        GS = NC * sA
+        cyx = (top_y - wys) * sA  # [res,1] canvas row per pixel row
         cxx = (wxs - low_x) * sA  # [1,res]
-        ri = jnp.clip(jnp.floor(cyx).astype(i32), 0, NC * sA - 1)
-        ci = jnp.clip(jnp.floor(cxx).astype(i32), 0, NC * sA - 1)
-        in_r = (cyx >= 0) & (cyx < NC * sA)  # [res,1]
-        in_c = (cxx >= 0) & (cxx < NC * sA)  # [1,res]
-        ycell = ri // sA  # [res,1]
-        vi_g = ri % sA
-        xcell = ci // sA  # [1,res]
-        ui_g = ci % sA
+        ri = jnp.clip(jnp.floor(cyx).astype(i32), 0, GS - 1)
+        ci = jnp.clip(jnp.floor(cxx).astype(i32), 0, GS - 1)
+        in_r = (cyx >= 0) & (cyx < GS)  # [res,1]
+        in_c = (cxx >= 0) & (cxx < GS)  # [1,res]
 
+        # cell-resolution picks for the colored-cell pass
         Py = (
-            (ycell == jax.lax.broadcasted_iota(i32, (res, NC), 1)) & in_r
+            (ri // sA == jax.lax.broadcasted_iota(i32, (res, NC), 1)) & in_r
         ).astype(bf16)  # [res, NC]
         Pxt = (
-            (jax.lax.broadcasted_iota(i32, (NC, res), 0) == xcell) & in_c
+            (jax.lax.broadcasted_iota(i32, (NC, res), 0) == ci // sA) & in_c
         ).astype(bf16)  # [NC, res]
 
         if has_grid_tex:
-            Vy = (
-                vi_g == jax.lax.broadcasted_iota(i32, (res, sA), 1)
-            ).astype(bf16)
-            Vxt = (
-                jax.lax.broadcasted_iota(i32, (sA, res), 0) == ui_g
-            ).astype(bf16)
+            Ry_g = (
+                (ri == jax.lax.broadcasted_iota(i32, (res, GS), 1)) & in_r
+            ).astype(bf16)  # [res, GS]
+            Cxt_g = (
+                (jax.lax.broadcasted_iota(i32, (GS, res), 0) == ci) & in_c
+            ).astype(bf16)  # [GS, res]
 
-            # per-pixel atlas row id in ONE pick (integers exact in the
-            # one-hot matmul); row masks then cost an elementwise compare
-            # instead of two matmuls per row
-            row1 = jnp.dot(
-                jnp.dot(Py, (rowmap + 1).astype(bf16),
-                        preferred_element_type=f32),
-                Pxt, preferred_element_type=f32,
-            )  # 0 = untextured / outside window
-            covered = row1 > 0.5
+            def gsamp(ch):
+                # MXU accumulates in f32; the bf16 round-trips mirror the
+                # XLA path's preferred_element_type=bf16 einsums (exact:
+                # one-hot picks of u8-valued texels)
+                img = gcanvas_ref[b, ch].astype(i32).astype(bf16)
+                e1 = jnp.dot(Ry_g, img,
+                             preferred_element_type=f32).astype(bf16)
+                return jnp.dot(e1, Cxt_g,
+                               preferred_element_type=f32).astype(bf16).astype(f32)
 
-            # hoist the shared ui contraction out of the row loop: ONE
-            # matmul per channel gives every row's texels at the output
-            # columns; the per-row work is a single [res,sA]@[sA,res] dot
-            def chan_u(c):
-                imgs_c = grid_ref[
-                    pl.ds(c * n1g * sA, n1g * sA), :
-                ]  # [n1g*sA, sA]
-                return jnp.dot(imgs_c, Vxt, preferred_element_type=f32)
-
-            Us = [chan_u(c).astype(bf16) for c in range(4)]
-
-            # at most one row matches per pixel, so += is exact.  Small
-            # atlases accumulate in values; large ones skip absent rows
-            # behind a predicate (scalar sync only pays off when rows are
-            # likely absent).
-            values_mode = n1g <= 8
-
-            def row_chan(r, c):
-                return jnp.dot(Vy, Us[c][r * sA:(r + 1) * sA, :],
-                               preferred_element_type=f32)
-
-            if values_mode:
-                acc = [jnp.zeros((res, res), f32) for _ in range(4)]
-                for r in range(n1g):
-                    Mr = (row1 == (r + 1)).astype(f32)
-                    for c in range(4):
-                        acc[c] = acc[c] + Mr * row_chan(r, c)
-                alpha = acc[3] * (1.0 / 255.0)
-                obs = [
-                    jnp.round(obs[c] * (1 - alpha) + acc[c] * alpha)
-                    for c in range(3)
-                ]
-            else:
-                gacc_ref[...] = jnp.zeros((4, res, res), f32)
-                for r in range(n1g):
-                    cellmask = rowmap == r
-
-                    @pl.when(jnp.any(cellmask))
-                    def _(r=r):
-                        Mr = (row1 == (r + 1)).astype(f32)
-                        for c in range(4):
-                            gacc_ref[c] += Mr * row_chan(r, c)
-
-                alpha = gacc_ref[3] * (1.0 / 255.0)
-                obs = [
-                    jnp.round(obs[c] * (1 - alpha) + gacc_ref[c] * alpha)
-                    for c in range(3)
-                ]
+            alpha = gsamp(3) / 255.0  # division, matching the XLA path
+            obs = [
+                jnp.round(obs[c] * (1 - alpha) + gsamp(c) * alpha)
+                for c in range(3)
+            ]
+            covered = gsamp(4) > 127.0
         else:
             covered = jnp.zeros((res, res), bool)
 
@@ -751,24 +711,25 @@ def _make_kernel(plan: PallasPlan, B: int):
         # contraction of all 5 planes happens in ONE matmul.  f32 one-hots:
         # the inset plane holds non-integers (chaser's 0.3) that a bf16
         # pick would perturb — f32 picks are exact for any f32 value.
-        cell_flat = cell5_ref[b].reshape(5 * NC, NC)
-        U5 = jnp.dot(cell_flat, Pxt.astype(f32),
-                     preferred_element_type=f32)
+        if "cell" not in _ABLATE:
+            cell_flat = cell5_ref[b].reshape(5 * NC, NC)
+            U5 = jnp.dot(cell_flat, Pxt.astype(f32),
+                         preferred_element_type=f32)
 
-        def cellpick(j):
-            return jnp.dot(Py.astype(f32), U5[j * NC:(j + 1) * NC, :],
-                           preferred_element_type=f32)
+            def cellpick(j):
+                return jnp.dot(Py.astype(f32), U5[j * NC:(j + 1) * NC, :],
+                               preferred_element_type=f32)
 
-        cvalid = cellpick(3) > 0.5
-        inset = cellpick(4)
-        u_frac = wxs - jnp.floor(wxs)  # [1,res]
-        v_frac = wys - jnp.floor(wys)  # [res,1]
-        central = (jnp.abs(u_frac - 0.5) < inset / 2) & (
-            jnp.abs(v_frac - 0.5) < inset / 2
-        )
-        gvalid = cvalid & central & ~covered
-        for c in range(3):
-            obs[c] = jnp.where(gvalid, cellpick(c), obs[c])
+            cvalid = cellpick(3) > 0.5
+            inset = cellpick(4)
+            u_frac = wxs - jnp.floor(wxs)  # [1,res]
+            v_frac = wys - jnp.floor(wys)  # [res,1]
+            central = (jnp.abs(u_frac - 0.5) < inset / 2) & (
+                jnp.abs(v_frac - 0.5) < inset / 2
+            )
+            gvalid = cvalid & central & ~covered
+            for c in range(3):
+                obs[c] = jnp.where(gvalid, cellpick(c), obs[c])
 
         obs = paint_z(obs, 0)
         obs = paint_z(obs, 1)
@@ -817,7 +778,7 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
         in_specs=[
             row_block((1, SF_N), pltpu.SMEM),
             row_block((1, SI_N), pltpu.SMEM),
-            row_block((NC, NC)),
+            row_block((5, plan.GS, plan.GS)),
             row_block((5, NC, NC)),
             row_block((cap, EF_N)),
             row_block((cap, EI_N)),
@@ -826,14 +787,12 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
             row_block((3,) + ((plan.BH, plan.BW) if plan.procgen_bg
                               else (1, 1))),
             const_block(plan.bg_flat),
-            const_block(plan.grid_flat),
             const_block(plan.ent_flat),
         ],
         out_specs=row_block((3, res, res)),
         scratch_shapes=[
             pltpu.VMEM((nz * 4, res, res), f32),
             pltpu.VMEM((nzd * 4, res, res), f32),
-            pltpu.VMEM((4, res, res), f32),
         ],
         interpret=interpret,
     )
@@ -847,14 +806,14 @@ def render_obs_batch(game, states, res: int = RES, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     prep = jax.vmap(lambda s: _prep_one(plan, s))(states)
-    sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc = prep
+    sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc = prep
     N = sf.shape[0]
     sf = sf.reshape(N, 1, SF_N)
     si = si.reshape(N, 1, SI_N)
     call = _pallas_call(plan, N, interpret)
     out = call(
-        sf, si, rowmap, cell5, ent_f, ent_i, dec_f, dec_i, bgc,
-        plan.bg_flat, plan.grid_flat, plan.ent_flat,
+        sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc,
+        plan.bg_flat, plan.ent_flat,
     )
     obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)
 

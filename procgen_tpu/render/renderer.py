@@ -452,10 +452,14 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
     return jax.lax.fori_loop(0, e.count, body, init)
 
 
-def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
-                      atlas):
-    """Textured grid pass: aligned-canvas one-hot assembly + separable
-    nearest resample (see render/atlas.py docstring)."""
+def grid_tile_canvas(game, s, atlas):
+    """Aligned per-env tile canvas: ``[NC*sA, NC*sA, 5]`` bf16 (RGBA +
+    covered flag), plus the (top_y, low_x) cell-window origin.
+
+    Shared by the XLA grid pass below and the Pallas kernel's prep (the
+    kernel resamples this canvas with the identical separable picks, which
+    is what keeps the two renderers bit-equal).
+    """
     import numpy as np
 
     bf16 = jnp.bfloat16
@@ -506,6 +510,17 @@ def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
     canvas = jnp.transpose(canvas, (0, 2, 1, 3, 4)).reshape(
         NC * sA, NC * sA, 5
     )
+    return canvas, top_y, low_x
+
+
+def _paint_grid_tiles(game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
+                      atlas):
+    """Textured grid pass: aligned-canvas one-hot assembly + separable
+    nearest resample (see render/atlas.py docstring)."""
+    bf16 = jnp.bfloat16
+    sA = atlas.tile_px
+    canvas, top_y, low_x = grid_tile_canvas(game, s, atlas)
+    NC = canvas.shape[0] // sA
 
     # separable nearest resample from canvas coords to output pixels
     cyx = (top_y.astype(f32) - wys) * sA  # [res] canvas row per pixel row

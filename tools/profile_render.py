@@ -1,4 +1,4 @@
-"""Renderer stage timing + XLA cost analysis on the real chip.
+"""Time the batched renderers (pallas vs XLA) on the real chip.
 
 Usage: python tools/profile_render.py [num_envs] [game]
 """
@@ -11,14 +11,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from procgen_tpu.core import lifecycle
 from procgen_tpu.core.constants import EASY_MODE, INT32_MAX
 from procgen_tpu.core.options import GameOptions
 from procgen_tpu.games.registry import make_game
-from procgen_tpu.render import renderer as R
-from procgen_tpu.render.atlas import get_atlases
+from procgen_tpu.render import pallas_kernel
+from procgen_tpu.render.renderer import render_obs
 from procgen_tpu.utils.host_mt import HostMT19937
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
@@ -35,13 +34,7 @@ def timeit(name, fn, *args):
         out = jitted(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / STEPS
-    c = jitted.lower(*args).compile().cost_analysis()
-    fl = c.get("flops", 0) / 1e9
-    by = c.get("bytes accessed", 0) / 1e9
-    print(
-        f"{name:26s} {dt*1e3:8.3f} ms   {fl:8.1f} GF ({fl/dt/1e3:6.1f} TF/s)"
-        f"   {by:7.2f} GB ({by/dt:6.0f} GB/s)"
-    )
+    print(f"{name:28s} {dt*1e3:8.3f} ms   ({N/dt:,.0f} env-frames/s)")
 
 
 def main():
@@ -51,89 +44,35 @@ def main():
     seeds = jnp.asarray([master.next_u32() for _ in range(N)], jnp.uint32)
 
     def init(seeds):
-        states = jax.vmap(lambda sd: lifecycle.initial_state(game, sd))(seeds)
-        return jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
+        st = jax.vmap(lambda sd: lifecycle.initial_state(game, sd))(seeds)
+        return jax.vmap(lambda s: lifecycle.env_reset(game, s))(st)
 
     states = jax.jit(init)(seeds)
     jax.block_until_ready(states.grid)
-    res = 64
 
-    grid_atlas, bg_atlas, ent_atlas = get_atlases(game, res)
+    plan = pallas_kernel.get_plan(game, 64)
+    print(
+        f"game={GAME} N={N} NC={plan.NC} cap={plan.cap} dcap={plan.dcap} "
+        f"n1g={plan.n1g} n1e={plan.n1e} sA={plan.sA} S={plan.S} "
+        f"BH={plan.BH} BW={plan.BW} nb={plan.nb} nz={len(plan.z_levels)}"
+    )
 
-    def full(states):
-        return jax.vmap(lambda s: R.render_obs(game, s, res))(states)
-
-    def bg_only(states):
-        def one(s):
-            sx = jnp.arange(res, dtype=jnp.float32) + 0.5
-            sy = jnp.arange(res, dtype=jnp.float32) + 0.5
-            w = s.main_width.astype(jnp.float32)
-            h = s.main_height.astype(jnp.float32)
-            vis = jnp.maximum(jnp.maximum(w, h), jnp.float32(game.min_visibility))
-            unit = res / vis
-            obs = jnp.zeros((res, res, 3), jnp.int32)
-            if bg_atlas is not None:
-                pix = jnp.asarray(bg_atlas.pixels)
-                bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
-                img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False)
-                bg_ar = jnp.asarray(bg_atlas.aspects)[bi]
-                obs = R._paint_background(
-                    game, s, obs, sx, sy, res, unit, vis, img, bg_ar
-                )
-            return obs
-
-        return jax.vmap(one)(states)
-
-    def grid_only(states):
-        def one(s):
-            sx = jnp.arange(res, dtype=jnp.float32) + 0.5
-            sy = jnp.arange(res, dtype=jnp.float32) + 0.5
-            w = s.main_width.astype(jnp.float32)
-            h = s.main_height.astype(jnp.float32)
-            vis = jnp.maximum(jnp.maximum(w, h), jnp.float32(game.min_visibility))
-            unit = res / vis
-            cx = w * 0.5
-            cy = h * 0.5
-            x_off = unit * (cx - vis / 2)
-            y_off = unit * (cy - vis / 2)
-            wxs = (sx + x_off) / unit
-            wys = vis - (sy - y_off) / unit
-            obs = jnp.zeros((res, res, 3), jnp.int32)
-            if grid_atlas is not None:
-                obs, _ = R._paint_grid_tiles(
-                    game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
-                    grid_atlas,
-                )
-            return obs
-
-        return jax.vmap(one)(states)
-
-    def sprites_only(states):
-        def one(s):
-            sx = jnp.arange(res, dtype=jnp.float32) + 0.5
-            sy = jnp.arange(res, dtype=jnp.float32) + 0.5
-            w = s.main_width.astype(jnp.float32)
-            h = s.main_height.astype(jnp.float32)
-            vis = jnp.maximum(jnp.maximum(w, h), jnp.float32(game.min_visibility))
-            unit = res / vis
-            cx = w * 0.5
-            cy = h * 0.5
-            x_off = unit * (cx - vis / 2)
-            y_off = unit * (cy - vis / 2)
-            if ent_atlas is None:
-                return jnp.zeros((3, res, res, 4), jnp.float32)
-            return R._sprite_canvases(
-                game, s, s.ents, game.should_draw_entity_mask(s), ent_atlas,
-                res, unit, vis, x_off, y_off, sx, sy,
-            )
-
-        return jax.vmap(one)(states)
-
-    print(f"game={GAME} N={N} res={res}")
-    timeit("full render", full, states)
-    timeit("background", bg_only, states)
-    timeit("grid tiles", grid_only, states)
-    timeit("entity sprites", sprites_only, states)
+    if jax.default_backend() == "tpu":
+        timeit(
+            "pallas render",
+            lambda st: pallas_kernel.render_obs_batch(game, st, 64, False),
+            states,
+        )
+        timeit(
+            "pallas prep only",
+            lambda st: jax.vmap(lambda s: pallas_kernel._prep_one(plan, s))(st),
+            states,
+        )
+    timeit(
+        "xla render",
+        lambda st: jax.vmap(lambda s: render_obs(game, s, 64))(st),
+        states,
+    )
 
 
 if __name__ == "__main__":
