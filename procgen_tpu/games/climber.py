@@ -271,10 +271,14 @@ class Climber(BasicAbstractGame):
             delta_y = dy0 + min_dy
 
             can_enemy = (curr_x >= margin_x) & (curr_x <= w - margin_x)
-            d, eroll = d.rand01_if(live)
+            # `can_spawn_enemy && rand01() < p` short-circuits: the roll is
+            # only drawn when spawning is possible (climber.cpp:192)
+            d, eroll = d.rand01_if(live & can_enemy)
             spawn_enemy = live & can_enemy & (eroll < enemy_prob)
-            d, ey0 = d.randn_if(spawn_enemy, 2)
+            # g++ evaluates add_entity's arguments right-to-left, so the vx
+            # direction randn precedes the y-offset randn (climber.cpp:193)
             d, edir = d.randn_if(spawn_enemy, 2)
+            d, ey0 = d.randn_if(spawn_enemy, 2)
             ef = default_fields(
                 curr_x.astype(f32) + 0.5,
                 (curr_y + ey0 + 2).astype(f32) + 0.5,

@@ -275,7 +275,9 @@ class Fruitbot(BasicAbstractGame):
         for wi in range(num_walls):
             dy = min_sep + parts[wi]
             curr_h = curr_h + dy
-            d, droll = d.rand01()
+            # `(dy > 5) && rand01() < door_prob` short-circuits: the roll is
+            # drawn only for tall-enough gaps (fruitbot.cpp:224)
+            d, droll = d.rand01_if(dy > 5)
             use_door = (dy > 5) & (droll < door_prob)
             s, d = self._add_walls(s, d, curr_h.astype(f32), use_door, min_pct)
 

@@ -364,19 +364,44 @@ class Jumper(BasicAbstractGame):
         )
         s = s.replace(ents=s.ents.push(f))
 
-        # spikes (jumper.cpp:326-337): per qualifying cell, one draw each,
-        # ascending order
-        ground2 = on_ground(grid)
-        g_l = jnp.pad(ground2, ((0, 0), (1, 0)))[:, :dim]
-        g_r = jnp.pad(ground2, ((0, 0), (0, 1)))[:, 1:]
-        spike_cand = (ground2 & g_l & g_r).reshape(-1)
-        ncand = jnp.sum(spike_cand).astype(i32)
+        # spikes (jumper.cpp:326-337): the sweep MUTATES the grid as it
+        # scans — a spike placed at x makes x+1/x+2 ineligible (SPIKE is
+        # not SPACE), and the rand01 is drawn only for cells eligible at
+        # that moment — so the pass must be sequential, not vectorized
         spike_prob = 0.0 if self.options.distribution_mode == MEMORY_MODE else 0.2
-        g, svals = rng.draw_n(g, A, ncand)
-        sranks = jnp.cumsum(spike_cand.astype(i32)) - 1
-        my_roll = svals[jnp.clip(sranks, 0, A - 1)].astype(f32) * jnp.float32(2.0**-32)
-        is_spike = spike_cand & (my_roll < spike_prob)
-        grid = jnp.where(is_spike.reshape(dim, dim), SPIKE, grid)
+
+        def spike_body(carry, cell):
+            g, grid = carry
+            x = cell % dim
+            y = cell // dim
+
+            def gob(xx, yy):
+                inb = (xx >= 0) & (xx < dim) & (yy >= 0) & (yy < dim)
+                return jnp.where(
+                    inb,
+                    grid[jnp.clip(yy, 0, dim - 1), jnp.clip(xx, 0, dim - 1)],
+                    CAVEWALL,
+                )
+
+            def sog(xx):
+                # is_space_on_ground (jumper.cpp:183-190); below-the-floor
+                # out-of-bounds reads satisfy the ground test either way
+                return (
+                    (gob(xx, y) == SPACE)
+                    & (gob(xx, y + 1) == SPACE)
+                    & ((gob(xx, y - 1) == CAVEWALL) | (y == 0))
+                )
+
+            elig = sog(x) & sog(x - 1) & sog(x + 1)
+            g2, roll = rng.rand01(g)
+            g = tree_where(elig, g2, g)
+            place = elig & (roll < spike_prob)
+            grid = grid.at[y, x].set(jnp.where(place, SPIKE, grid[y, x]))
+            return (g, grid), None
+
+        (g, grid), _ = jax.lax.scan(
+            spike_body, (g, grid), jnp.arange(dim * dim, dtype=i32)
+        )
 
         # anti-long-wall fixes (jumper.cpp:339-351): sequential, mutating
         def wall_body(carry, cell):

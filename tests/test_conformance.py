@@ -1,0 +1,43 @@
+"""Trajectory conformance vs the C++ reference oracle (the north star).
+
+Replays checked-in recordings produced by the logic-only reference build
+(tools/refharness) and asserts EXACT equality of rewards / firsts /
+level seeds / prev-level info / maze+miner latent grids at every step.
+
+Recordings: tests/data/conformance/*.json (64 steps, 2 envs, easy+hard per
+game).  Regenerate after an oracle change with:
+
+    python tools/refharness/build.py
+    python tools/refharness/gen_test_recordings.py
+"""
+
+import glob
+import json
+import os
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REC_DIR = os.path.join(HERE, "data", "conformance")
+RECORDINGS = sorted(glob.glob(os.path.join(REC_DIR, "*.json")))
+
+
+@pytest.mark.parametrize(
+    "path", RECORDINGS, ids=[os.path.basename(p)[:-5] for p in RECORDINGS]
+)
+def test_trajectory_exact_vs_reference(path):
+    sys.path.insert(0, os.path.join(HERE, "..", "tools"))
+    import conformance
+
+    rec = json.load(open(path))
+    r = conformance.replay(rec)
+    assert r["first_divergence"] is None, r["first_divergence"]
+    assert r["checked"] == len(rec["actions"])
+
+
+def test_recordings_present():
+    assert len(RECORDINGS) >= 32, (
+        f"expected >=32 conformance recordings, found {len(RECORDINGS)} — "
+        "run tools/refharness/gen_test_recordings.py"
+    )

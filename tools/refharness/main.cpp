@@ -69,6 +69,7 @@ struct Args {
     int distribution_mode = 1; // HardMode
     bool latents = false;
     bool debug_agent = false;
+    bool debug_ents = false;
     // game options consumed by Game::parse_options (game.cpp:62-95)
     bool paint_vel_info = false;
     bool use_generated_assets = false;
@@ -106,6 +107,8 @@ static Args parse_args(int argc, char **argv) {
             a.latents = true;
         else if (k == "--debug-agent")
             a.debug_agent = true;
+        else if (k == "--debug-ents")
+            a.debug_ents = true;
         else if (k == "--paint-vel-info")
             a.paint_vel_info = true;
         else if (k == "--use-generated-assets")
@@ -295,6 +298,21 @@ int main(int argc, char **argv) {
                     "%s[%.9g, %.9g, %.9g, %.9g, %.9g, %zu]", e ? ", " : "",
                     bg->agent->x, bg->agent->y, bg->agent->vx, bg->agent->vy,
                     bg->agent->rx, bg->entities.size());
+            }
+            printf("]");
+        }
+        if (a.debug_ents) {
+            printf(", \"ents\": [");
+            for (int e = 0; e < a.num; e++) {
+                auto *bg = dynamic_cast<BasicAbstractGame *>(games[e]);
+                printf("%s[", e ? ", " : "");
+                for (size_t i = 0; i < bg->entities.size(); i++) {
+                    auto &en = bg->entities[i];
+                    printf("%s[%d, %.9g, %.9g, %.9g, %.9g, %.9g, %.9g]",
+                           i ? ", " : "", en->type, en->x, en->y, en->vx,
+                           en->vy, en->rx, en->ry);
+                }
+                printf("]");
             }
             printf("]");
         }
