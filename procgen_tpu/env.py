@@ -70,6 +70,7 @@ class BaseProcgenEnv:
         resource_root=None,
         num_threads=4,  # accepted for API parity; no thread pool on TPU
         render_mode=None,
+        mesh="auto",  # device-mesh sharding of the env axis (TPU extension)
     ):
         self.combos = self.get_combos()
         self.num = num
@@ -109,6 +110,7 @@ class BaseProcgenEnv:
                 num_levels=num_levels,
                 start_level=start_level,
                 render_human=render_human,
+                mesh=mesh,
             )
         else:
             from .parallel.vec import JointJaxVecGame
@@ -120,6 +122,7 @@ class BaseProcgenEnv:
                 num_levels=num_levels,
                 start_level=start_level,
                 render_human=render_human,
+                mesh=mesh,
             )
         self.options = options
 

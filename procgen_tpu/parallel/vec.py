@@ -115,6 +115,7 @@ def reset_pending(game: BasicAbstractGame, states, pending, k: int):
 _KEEP_LIVE_ON_RESET = (
     "reward",
     "done",
+    "step_draws",
     "level_complete",
     "episode_done",
     "prev_level_seed",
@@ -185,10 +186,17 @@ class JaxVecGame:
         render_human: bool = False,
         reset_batch: Optional[int] = None,
         seed_values=None,
+        mesh="auto",
     ):
         self.num = num
         self.game = game
         self.render_human = render_human
+        self.mesh = self._resolve_mesh(mesh, num)
+        self._env_sharding = None
+        if self.mesh is not None:
+            from .sharding import env_sharding
+
+            self._env_sharding = env_sharding(self.mesh)
 
         # level seed range (vecgame.cpp:330-341)
         if num_levels == 0:
@@ -233,6 +241,10 @@ class JaxVecGame:
             os.environ.get("PROCGEN_TPU_REPLENISH_EVERY", "8")
         )
         m = self._replenish_every
+        # per-step RNG budget guard (host sync each step — debug only)
+        self._check_draws = bool(game.options.debug_mode) or (
+            os.environ.get("PROCGEN_TPU_CHECK_DRAWS", "0") == "1"
+        )
 
         @jax.jit
         def init_fn(seeds):
@@ -291,12 +303,41 @@ class JaxVecGame:
         self._step_fn = step_fn
         self._step_pool_fn = step_pool_fn
 
-        self.states = init_fn(jnp.asarray(seeds))
+        seeds = jnp.asarray(seeds)
+        if self._env_sharding is not None:
+            seeds = jax.device_put(seeds, self._env_sharding)
+        self.states = init_fn(seeds)
+        if self._env_sharding is not None:
+            # init_fn output shardings follow the seed input, but make the
+            # env-axis placement explicit so the step program always sees
+            # fully sharded operands (multi-host init included).
+            from .sharding import shard_states
+
+            self.states = shard_states(self.states, self.mesh)
         if self._use_pool:
             self._pool, self._pool_valid = pool_fn(self.states)
         else:
             self._pool = self._pool_valid = None
         self._t = jnp.zeros((), i32)
+
+    @staticmethod
+    def _resolve_mesh(mesh, num: int):
+        """mesh="auto": shard the env axis over all local devices whenever
+        the batch divides evenly (single-device meshes are skipped — the
+        sharding would be a no-op).  mesh=None: no sharding.  Otherwise a
+        jax.sharding.Mesh with an "env" axis (parallel/sharding.py)."""
+        if mesh is None:
+            return None
+        if isinstance(mesh, str):
+            if mesh != "auto":
+                raise ValueError(f"unknown mesh spec {mesh!r}")
+            n = len(jax.devices())
+            if n <= 1 or num % n != 0:
+                return None
+            from .sharding import make_mesh
+
+            return make_mesh()
+        return mesh
 
     def _info_impl(self, states):
         info = {
@@ -317,6 +358,8 @@ class JaxVecGame:
     def act(self, actions) -> None:
         actions = jnp.asarray(actions, i32)
         assert actions.shape == (self.num,)
+        if self._env_sharding is not None:
+            actions = jax.device_put(actions, self._env_sharding)
         if self._use_pool:
             self.states, self._pool, self._pool_valid, self._t = (
                 self._step_pool_fn(
@@ -326,6 +369,16 @@ class JaxVecGame:
             )
         else:
             self.states = self._step_fn(self.states, actions)
+        if self._check_draws:
+            # debug-mode guard: an over-budget game_step reads a clamped
+            # Draws index and silently corrupts the mt19937 stream
+            used = int(np.max(np.asarray(self.states.step_draws)))
+            if used > self.game.MAX_STEP_DRAWS:
+                raise RuntimeError(
+                    f"{self.game.name}: game_step consumed {used} rand_gen "
+                    f"words > MAX_STEP_DRAWS={self.game.MAX_STEP_DRAWS} — "
+                    "the RNG stream is corrupt; raise MAX_STEP_DRAWS"
+                )
 
     def observe(self):
         obs, rew, first, info = self._observe_fn(self.states)
@@ -388,6 +441,7 @@ class JointJaxVecGame:
         num_levels: int = 0,
         start_level: int = 0,
         render_human: bool = False,
+        mesh="auto",
     ):
         k = len(games)
         assert num % k == 0, (
@@ -407,6 +461,7 @@ class JointJaxVecGame:
                 start_level=start_level,
                 render_human=render_human,
                 seed_values=seeds[gi::k],
+                mesh=mesh,
             )
             for gi, g in enumerate(games)
         ]

@@ -66,3 +66,42 @@ def test_sharded_step_matches_unsharded():
         st2, obs_sh = step_jit(st2, jax.device_put(actions[t], sh))
     assert len(obs_sh.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(obs_sh), obs_ref)
+
+
+def test_product_env_sharded_matches_unsharded():
+    """The user-facing path: ProcgenGym3Env(mesh="auto") — pool auto-reset +
+    textured render — must match mesh=None bit-for-bit."""
+    from procgen_tpu.env import ProcgenGym3Env
+
+    num = 16
+    actions = np.random.RandomState(1).randint(0, 15, size=(6, num)).astype(
+        np.int32
+    )
+
+    def rollout(mesh):
+        env = ProcgenGym3Env(
+            num=num,
+            env_name="maze",
+            rand_seed=11,
+            distribution_mode="easy",
+            mesh=mesh,
+        )
+        out = []
+        for t in range(len(actions)):
+            env.act(actions[t])
+            rew, obs, first = env.observe()
+            info = env.get_info()
+            out.append(
+                (rew, obs["rgb"], first, [i["level_seed"] for i in info])
+            )
+        return env, out
+
+    env_sh, sharded = rollout("auto")
+    assert env_sh._vec.mesh is not None, "auto mesh must engage on 8 devices"
+    assert len(env_sh._vec.states.grid.sharding.device_set) == 8
+    _, plain = rollout(None)
+    for t, (a, b) in enumerate(zip(sharded, plain)):
+        np.testing.assert_array_equal(a[0], b[0], err_msg=f"rew step {t}")
+        np.testing.assert_array_equal(a[1], b[1], err_msg=f"obs step {t}")
+        np.testing.assert_array_equal(a[2], b[2], err_msg=f"first step {t}")
+        assert a[3] == b[3], f"level seeds step {t}"
