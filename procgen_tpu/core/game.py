@@ -82,6 +82,10 @@ class BasicState:
     action_vrot: jax.Array
     step_rand_int: jax.Array
     visibility: jax.Array
+    # rand_gen words consumed by the last game_step (diagnostic: must stay
+    # <= game.MAX_STEP_DRAWS or the mt19937 stream silently corrupts —
+    # asserted by tests/test_draw_budget.py and the debug-mode runtime check)
+    step_draws: jax.Array = None
     # decorative entities (trails, explosions): rendered + aged but excluded
     # from all collision logic.  The reference keeps them in the same vector;
     # splitting the pool keeps interactive-entity scans small (TPU-first) at

@@ -60,6 +60,7 @@ def initial_state(game: BasicAbstractGame, lsrg_seed) -> BasicState:
         action_vrot=zf,
         step_rand_int=z32,
         visibility=jnp.asarray(game.visibility, f32),
+        step_draws=z32,
         decor=Entities.zeros(game.DECOR_CAP) if game.DECOR_CAP else None,
         bg_canvas=(
             jnp.zeros((assetgen.CAN, assetgen.CAN, 3), jnp.uint8)
@@ -129,7 +130,9 @@ def env_step(game: BasicAbstractGame, s: BasicState, action) -> tuple[BasicState
     )
     s = s.replace(rand_gen=norm_rg)
     s, draws = game.game_step(s, draws)
-    s = s.replace(rand_gen=rng.commit(s.rand_gen, draws))
+    s = s.replace(
+        rand_gen=rng.commit(s.rand_gen, draws), step_draws=draws.cursor
+    )
 
     done = s.done | will_force | (s.cur_time >= game.timeout)
     s = s.replace(done=done, total_reward=s.total_reward + s.reward)
