@@ -133,6 +133,52 @@ def asset_root():
     return None
 
 
+# Self-contained asset artifact (tools/bake_assets.py): every used PNG in
+# one npz, keys img/<relpath> (RGBA u8, possibly downscaled) and
+# size/<relpath> (ORIGINAL w,h — aspect ratios are logic-relevant).
+_ARTIFACT_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "assets.npz"
+)
+_artifact_cache: list = []
+
+
+def asset_artifact():
+    if not _artifact_cache:
+        if os.path.isfile(_ARTIFACT_PATH):
+            import numpy as _np
+
+            _artifact_cache.append(_np.load(_ARTIFACT_PATH))
+        else:
+            _artifact_cache.append(None)
+    return _artifact_cache[0]
+
+
+def assets_available() -> bool:
+    return asset_root() is not None or asset_artifact() is not None
+
+
+def load_rgba(rel_path):
+    """RGBA uint8 pixels for an asset: from the asset root if present,
+    else from the baked artifact.  Returns None only when the specific
+    file is missing from an otherwise-present source."""
+    root = asset_root()
+    if root is not None:
+        try:
+            from PIL import Image
+            import numpy as _np
+
+            img = Image.open(os.path.join(root, rel_path)).convert("RGBA")
+            return _np.asarray(img, _np.uint8)
+        except OSError:
+            pass  # fall through to the artifact
+    art = asset_artifact()
+    if art is not None:
+        key = f"img/{rel_path}"
+        if key in art.files:
+            return art[key]
+    return None
+
+
 _png_size_cache: dict = {}
 
 
@@ -152,6 +198,12 @@ def png_size(rel_path):
                 size = (w, h)
         except OSError:
             size = None
+    if size is None:
+        art = asset_artifact()
+        key = f"size/{rel_path}"
+        if art is not None and key in art.files:
+            w, h = art[key]
+            size = (int(w), int(h))
     _png_size_cache[rel_path] = size
     return size
 

@@ -31,16 +31,19 @@ from .assets import monochrome_color
 
 
 def _load_image(rel_path: str) -> Optional[np.ndarray]:
-    root = asset_tables.asset_root()
-    if root is None:
-        return None
-    try:
-        from PIL import Image
+    """RGBA pixels from the asset root or the baked artifact.
 
-        img = Image.open(os.path.join(root, rel_path)).convert("RGBA")
-        return np.asarray(img, np.uint8)
-    except Exception:
-        return None
+    Raises when a referenced asset is missing from a present source — the
+    reference fatals on unloadable images (resources.cpp:26-28); silent
+    color fallback would produce wrong observations with no signal."""
+    pix = asset_tables.load_rgba(rel_path)
+    if pix is None and asset_tables.assets_available():
+        raise FileNotFoundError(
+            f"asset {rel_path!r} missing from "
+            f"{asset_tables.asset_root() or 'the baked artifact'} — "
+            "re-run tools/bake_assets.py or fix PROCGEN_TPU_ASSET_ROOT"
+        )
+    return pix
 
 
 def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -150,7 +153,17 @@ def get_atlases(game, res: int):
     )
     if key in _CACHE:
         return _CACHE[key]
-    if asset_tables.asset_root() is None and not game.options.use_generated_assets:
+    if not asset_tables.assets_available() and not game.options.use_generated_assets:
+        # the reference fatals when images can't load (resources.cpp:26-28);
+        # the escape hatch keeps the colored-rect mode reachable for debug
+        if os.environ.get("PROCGEN_TPU_ALLOW_NO_ASSETS", "0") != "1":
+            raise RuntimeError(
+                "no assets: neither an asset root directory (set "
+                "PROCGEN_TPU_ASSET_ROOT) nor the baked artifact "
+                "(procgen_tpu/data/assets.npz, see tools/bake_assets.py) "
+                "is present.  Set PROCGEN_TPU_ALLOW_NO_ASSETS=1 to render "
+                "colored rects instead."
+            )
         _CACHE[key] = (None, None, None)
         return _CACHE[key]
 
