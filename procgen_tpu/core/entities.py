@@ -21,6 +21,7 @@ from .constants import EXPLOSION, EXPLOSION5, TRAIL
 
 f32 = jnp.float32
 i32 = jnp.int32
+u32 = jnp.uint32
 
 
 @struct.dataclass
@@ -119,32 +120,66 @@ class Entities:
 
         Silently drops on overflow like a bounded pool; capacities are sized
         from worst-case analysis per game so overflow is a bug, checked in
-        tests via ``count < cap`` assertions.
+        tests via ``count < cap`` assertions.  Delegates to the one-hot
+        ``push_many`` placement (a dynamic-index update here is a scatter
+        XLA-TPU serializes through SMEM).
         """
         do = jnp.asarray(do, bool)
-        slot = jnp.minimum(self.count, self.cap - 1)
-        ok = do & (self.count < self.cap)
-        out = self.set_fields_where(slot, ok, **fields)
-        return out.replace(count=self.count + ok.astype(i32))
+        return self.push_many(
+            {k: jnp.asarray(v)[None] for k, v in fields.items()},
+            do.reshape((1,)),
+        )
 
     def push_many(self, fields: dict[str, Any], do) -> "Entities":
-        """Append up to K entities in one batched scatter per field.
+        """Append up to K entities in one batched placement per field.
 
         ``fields`` values are [K] arrays (or broadcastable scalars), ``do``
         is a [K] bool mask.  Pushed entities keep mask order — equivalent to
-        K sequential ``push`` calls but ~30x fewer ops in the program.
+        K sequential ``push`` calls.
+
+        Placement is a one-hot matmul, NOT a scatter: XLA-TPU lowers
+        batched scatters to serialized SMEM stores (measured ~1.4ms per
+        [4096, cap] field — 110ms/step on starpilot).  32-bit exactness is
+        kept by splitting each value into two 16-bit halves so the f32
+        einsums only ever accumulate integers < 2^16 (one nonzero per
+        output column).
         """
         do = jnp.asarray(do, bool)
         k = do.shape[0]
         offs = jnp.cumsum(do.astype(i32)) - 1
         slots = self.count + offs
         ok = do & (slots < self.cap)
-        idx = jnp.where(ok, slots, self.cap)  # cap is OOB -> dropped
+        # M[j, c] = 1 iff push j lands in slot c (at most one j per c)
+        M = (
+            ok[:, None] & (slots[:, None] == jnp.arange(self.cap)[None, :])
+        ).astype(jnp.float32)
+        hit = jnp.max(M, axis=0) > 0.5  # [cap]
+
+        def place(arr, vals):
+            bits = jax.lax.bitcast_convert_type(
+                vals.astype(arr.dtype), i32
+            ) if arr.dtype == jnp.float32 else vals.astype(i32)
+            ubits = bits.astype(u32)
+            lo = (ubits & u32(0xFFFF)).astype(jnp.float32)
+            hi = (ubits >> u32(16)).astype(jnp.float32)
+            plo = jnp.einsum("kc,k->c", M, lo)
+            phi = jnp.einsum("kc,k->c", M, hi)
+            placed = plo.astype(u32) | (phi.astype(u32) << u32(16))
+            if arr.dtype == jnp.float32:
+                new = jax.lax.bitcast_convert_type(
+                    placed.astype(i32), jnp.float32
+                )
+            elif arr.dtype == jnp.bool_:
+                new = placed > 0
+            else:
+                new = placed.astype(i32).astype(arr.dtype)
+            return jnp.where(hit, new, arr)
+
         upd = {}
         for name, v in fields.items():
             arr = getattr(self, name)
             vals = jnp.broadcast_to(jnp.asarray(v, arr.dtype), (k,))
-            upd[name] = arr.at[idx].set(vals, mode="drop")
+            upd[name] = place(arr, vals)
         return self.replace(
             count=self.count + jnp.sum(ok).astype(i32), **upd
         )

@@ -76,6 +76,7 @@ class Bossfight(BasicAbstractGame):
     name = "bossfight"
     WORLD_DIM_MAX = (20, 20)
     ENT_CAP = 72
+    ARB_ROT_TYPES = (4,)  # enemy bullets spin (vrot = pi/8, bossfight.cpp:262)
     DECOR_CAP = 160  # laser trails (one per enemy bullet per step) + booms
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
@@ -215,57 +216,82 @@ class Bossfight(BasicAbstractGame):
             )
         )
 
-        # boss hits, sequentially per bullet (round bookkeeping)
+        # boss hits, reverse bullet order.  Round bookkeeping is sequential
+        # (a crossing raises the shields, blocking later bullets this step —
+        # so at most ONE crossing per step), but the scan only needs a
+        # tiny scalar carry; the heavy per-slot state writes (bullet erase,
+        # explosion push, boss prep) apply ONCE after it.
+        e0 = s.ents
+        g0 = s.game
+        cand = (
+            (jnp.arange(self.ENT_CAP) < e0.count)
+            & (e0.type == PLAYER_BULLET)
+            & ~e0.will_erase
+            & overlap[:, BOSS_SLOT]
+        )
+
         def boss_hit(carry, j):
-            s = carry
+            health, shields, crossed_any, killed_any = carry
             i = self.ENT_CAP - 1 - j  # reverse order
-            e = s.ents
-            g = s.game
-            hit = (
-                (i < e.count)
-                & (e.type[i] == PLAYER_BULLET)
-                & ~e.will_erase[i]
-                & overlap[i, BOSS_SLOT]
-                & ~g.shields_are_up
-            )
-            health = e.health[BOSS_SLOT] - jnp.where(hit, 1.0, 0.0)
+            hit = cand[i] & ~shields
+            health = health - jnp.where(hit, 1.0, 0.0)
             crossed = hit & (
-                health.astype(i32) % jnp.maximum(g.round_health, 1) == 0
+                health.astype(i32) % jnp.maximum(g0.round_health, 1) == 0
             )
             killed = crossed & (health == 0)
-            new_round = crossed & ~killed
-            s = s.replace(
-                ents=e.set_fields_where(BOSS_SLOT, hit, health=health),
-                reward=s.reward
-                + jnp.where(crossed, f32(POSITIVE_REWARD), 0.0)
-                + jnp.where(killed, f32(COMPLETION_BONUS), 0.0),
-                done=s.done | killed,
-                level_complete=s.level_complete | killed,
-                game=g.replace(
-                    round_num=g.round_num + new_round.astype(i32)
-                ),
-            )
-            prepped = self._prepare_boss(s)
-            prepped = prepped.replace(
-                game=prepped.game.replace(
-                    curr_vel_timeout=jnp.asarray(BOSS_DAMAGED_TIMEOUT, i32),
-                    damaged_until_time=s.cur_time + BOSS_DAMAGED_TIMEOUT,
-                )
-            )
-            s = tree_where(new_round, prepped, s)
-            # bullet erased + explosion with boss velocity
-            e2 = s.ents
-            s = s.replace(
-                ents=e2.set_fields_where(i, hit, will_erase=True)
-            )
-            bx = default_fields(
-                e2.x[i], e2.y[i], e2.vx[BOSS_SLOT], e2.vy[BOSS_SLOT],
-                0.5 * e2.rx[i], 0.5 * e2.rx[i], EXPLOSION,
-            )
-            s = s.replace(decor=s.decor.push(bx, do=hit))
-            return s, None
+            shields = shields | (crossed & ~killed)  # new round blocks hits
+            return (
+                health,
+                shields,
+                crossed_any | crossed,
+                killed_any | killed,
+            ), hit
 
-        s, _ = jax.lax.scan(boss_hit, s, jnp.arange(self.ENT_CAP))
+        (health, _, crossed_any, killed_any), hits_rev = jax.lax.scan(
+            boss_hit,
+            (
+                e0.health[BOSS_SLOT],
+                g0.shields_are_up,
+                jnp.asarray(False),
+                jnp.asarray(False),
+            ),
+            jnp.arange(self.ENT_CAP),
+        )
+        hit_mask = hits_rev[::-1]  # ys are in reverse slot order
+        new_round = crossed_any & ~killed_any
+        any_hit = jnp.any(hit_mask)
+        s = s.replace(
+            ents=e0.replace(
+                health=e0.health.at[BOSS_SLOT].set(
+                    jnp.where(any_hit, health, e0.health[BOSS_SLOT])
+                ),
+                will_erase=e0.will_erase | hit_mask,
+            ),
+            reward=s.reward
+            + jnp.where(crossed_any, f32(POSITIVE_REWARD), 0.0)
+            + jnp.where(killed_any, f32(COMPLETION_BONUS), 0.0),
+            done=s.done | killed_any,
+            level_complete=s.level_complete | killed_any,
+            game=g0.replace(round_num=g0.round_num + new_round.astype(i32)),
+        )
+        prepped = self._prepare_boss(s)
+        prepped = prepped.replace(
+            game=prepped.game.replace(
+                curr_vel_timeout=jnp.asarray(BOSS_DAMAGED_TIMEOUT, i32),
+                damaged_until_time=s.cur_time + BOSS_DAMAGED_TIMEOUT,
+            )
+        )
+        s = tree_where(new_round, prepped, s)
+        # explosions inherit the boss velocity, pushed in reverse slot order
+        e2 = s.ents
+        rev = slice(None, None, -1)
+        bx = default_fields(
+            e2.x[rev], e2.y[rev],
+            jnp.broadcast_to(e2.vx[BOSS_SLOT], (self.ENT_CAP,)),
+            jnp.broadcast_to(e2.vy[BOSS_SLOT], (self.ENT_CAP,)),
+            (0.5 * e2.rx)[rev], (0.5 * e2.rx)[rev], EXPLOSION,
+        )
+        s = s.replace(decor=s.decor.push_many(bx, hit_mask[rev]))
 
         # barriers erase bullets/trails; depleted barriers explode
         e = s.ents
@@ -280,15 +306,10 @@ class Bossfight(BasicAbstractGame):
             ents=e.replace(will_erase=e.will_erase | bullet_die | barrier_die)
         )
 
-        def booms(i, decor):
-            bf = default_fields(
-                e.x[i], e.y[i], e.vx[i], e.vy[i], 0.5 * e.rx[i], 0.5 * e.rx[i],
-                EXPLOSION,
-            )
-            decor = decor.push(bf, do=bullet_die[i] | barrier_die[i])
-            return decor
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, booms, s.decor))
+        bf = default_fields(
+            e.x, e.y, e.vx, e.vy, 0.5 * e.rx, 0.5 * e.rx, EXPLOSION
+        )
+        s = s.replace(decor=s.decor.push_many(bf, bullet_die | barrier_die))
         return s, d
 
     # -- reset --------------------------------------------------------------
@@ -562,20 +583,19 @@ class Bossfight(BasicAbstractGame):
         # laser trails per enemy bullet (bossfight.cpp:400-414)
         e = s.ents
 
-        def trail(i, decor):
-            j = self.ENT_CAP - 1 - i
-            is_eb = (j < e.count) & (e.type[j] == ENEMY_BULLET)
-            f = default_fields(
-                e.x[j], e.y[j], e.vx[j] * 0.5, e.vy[j] * 0.5, e.rx[j], e.ry[j],
-                LASER_TRAIL,
-            )
-            f["alpha_decay"] = 0.7
-            f["image_type"] = ENEMY_BULLET
-            f["image_theme"] = g.boss_laser_theme
-            f["vrot"] = e.vrot[j]
-            f["rotation"] = e.rotation[j]
-            f["expire_time"] = 8
-            return decor.push(f, do=is_eb)
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, trail, s.decor))
+        # one batched push, highest slot first (the C++ loop runs in reverse)
+        rev = slice(None, None, -1)
+        is_eb = ((jnp.arange(self.ENT_CAP) < e.count)
+                 & (e.type == ENEMY_BULLET))[rev]
+        f = default_fields(
+            e.x[rev], e.y[rev], e.vx[rev] * 0.5, e.vy[rev] * 0.5,
+            e.rx[rev], e.ry[rev], LASER_TRAIL,
+        )
+        f["alpha_decay"] = 0.7
+        f["image_type"] = ENEMY_BULLET
+        f["image_theme"] = g.boss_laser_theme
+        f["vrot"] = e.vrot[rev]
+        f["rotation"] = e.rotation[rev]
+        f["expire_time"] = 8
+        s = s.replace(decor=s.decor.push_many(f, is_eb))
         return s, d

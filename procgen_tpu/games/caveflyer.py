@@ -56,6 +56,8 @@ class Caveflyer(BasicAbstractGame):
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
     DECOR_CAP = 32  # exhaust + explosions
+    # ship, bullets, and exhaust rotate by arbitrary angles (caveflyer.cpp:267-296)
+    ARB_ROT_TYPES = (0, 4, 9)  # PLAYER, PLAYER_BULLET, EXHAUST
 
     def __init__(self, options):
         super().__init__(options)
@@ -209,23 +211,20 @@ class Caveflyer(BasicAbstractGame):
         )
         s = s.replace(ents=ents)
 
-        # explosions (decor): one per dead target, one per erased bullet
-        def push_boom(i, decor):
-            td = target_dies[i]
-            bf = default_fields(
-                e.x[i], e.y[i], 0.0, 0.0, 0.5 * e.rx[i], 0.5 * e.rx[i], EXPLOSION
-            )
-            decor = decor.push(bf, do=td)
-            bh = bullet_hit[i]
-            xf = default_fields(
-                e.x[i], e.y[i], e.vx[sw[i]], e.vy[sw[i]],
-                0.5 * e.rx[i], 0.5 * e.rx[i], EXPLOSION,
-            )
-            return decor.push(xf, do=bh)
+        # explosions (decor): one per dead target, one per erased bullet —
+        # batched push with the sequential interleave (slot i: target boom
+        # then bullet boom) preserved by stacking along a trailing pair axis
+        def inter(a, b):
+            return jnp.stack([a, b], axis=1).reshape(-1)
 
-        s = s.replace(
-            decor=jax.lax.fori_loop(0, self.ENT_CAP, push_boom, s.decor)
+        bm = default_fields(
+            inter(e.x, e.x), inter(e.y, e.y),
+            inter(jnp.zeros_like(e.vx), e.vx[sw]),
+            inter(jnp.zeros_like(e.vy), e.vy[sw]),
+            inter(0.5 * e.rx, 0.5 * e.rx), inter(0.5 * e.rx, 0.5 * e.rx),
+            EXPLOSION,
         )
+        s = s.replace(decor=s.decor.push_many(bm, inter(target_dies, bullet_hit)))
         return s, d
 
     # -- reset --------------------------------------------------------------
@@ -429,14 +428,10 @@ class Caveflyer(BasicAbstractGame):
         boom = is_bullet & found_wall
         s = s.replace(ents=e.replace(will_erase=e.will_erase | boom))
 
-        def push_boom(i, decor):
-            xf = default_fields(
-                e.x[i], e.y[i], 0.0, 0.0, 0.5 * e.rx[i], 0.5 * e.rx[i],
-                EXPLOSION,
-            )
-            return decor.push(xf, do=boom[i])
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, push_boom, s.decor))
+        xf = default_fields(
+            e.x, e.y, 0.0, 0.0, 0.5 * e.rx, 0.5 * e.rx, EXPLOSION
+        )
+        s = s.replace(decor=s.decor.push_many(xf, boom))
 
         # trailing erase_if_needed (caveflyer.cpp:329)
         s = self.erase_if_needed(s)

@@ -411,16 +411,10 @@ class Chaser(BasicAbstractGame):
         )
 
         # hatched eggs spawn smart enemies, highest slot first (reverse loop)
-        def hatch_push(i, ents):
-            slot = self.ENT_CAP - 1 - i
-            do = hatch[slot]
-            f = default_fields(
-                e.x[slot], e.y[slot], 0.0, 0.0, 0.5, 0.5, ENEMY
-            )
-            f["smart_step"] = True
-            return ents.push(f, do=do)
-
-        s = s.replace(ents=jax.lax.fori_loop(0, self.ENT_CAP, hatch_push, s.ents))
+        rev = slice(None, None, -1)
+        f = default_fields(e.x[rev], e.y[rev], 0.0, 0.0, 0.5, 0.5, ENEMY)
+        f["smart_step"] = True
+        s = s.replace(ents=s.ents.push_many(f, hatch[rev]))
 
         # respawn an egg when below quota (chaser.cpp:348-351)
         free, ranks, nfree = self._free_cell_ranks(s)

@@ -567,16 +567,16 @@ class Coinrun(BasicAbstractGame):
         # enemy trails + animation (coinrun.cpp:484-499)
         e = s.ents
 
-        def push_trail(i, decor):
-            is_enemy = (i < e.count) & (e.type[i] == ENEMY)
-            f = default_fields(
-                e.x[i], e.y[i] - e.ry[i] * 0.5, 0.0, 0.01, 0.3, 0.2, TRAIL
-            )
-            f["expire_time"] = 8
-            f["alpha"] = 0.5
-            return decor.push(f, do=is_enemy)
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, push_trail, s.decor))
+        # trails push in reverse entity order (the C++ loop, coinrun.cpp:482)
+        rev = slice(None, None, -1)
+        is_enemy_slot = ((jnp.arange(self.ENT_CAP) < e.count)
+                         & (e.type == ENEMY))[rev]
+        tf = default_fields(
+            e.x[rev], (e.y - e.ry * 0.5)[rev], 0.0, 0.01, 0.3, 0.2, TRAIL
+        )
+        tf["expire_time"] = 8
+        tf["alpha"] = 0.5
+        s = s.replace(decor=s.decor.push_many(tf, is_enemy_slot))
 
         enemy_img = jnp.where((s.cur_time // 5) % 2 == 0, ENEMY1, ENEMY2)
         is_enemy = e.active & (e.type == ENEMY)

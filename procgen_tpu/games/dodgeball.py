@@ -60,6 +60,8 @@ class DodgeballState:
 class Dodgeball(BasicAbstractGame):
     name = "dodgeball"
     ENT_CAP = 72
+    # balls spin continuously (BALL_V_ROT); agent/enemies face diagonals
+    ARB_ROT_TYPES = (0, 3, 4, 6)  # PLAYER, PLAYER_BALL, ENEMY, ENEMY_BALL
     DECOR_CAP = 16  # dust clouds
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
@@ -247,18 +249,13 @@ class Dodgeball(BasicAbstractGame):
         # dust clouds (step-themed, choose_step_random_theme: no draw)
         theme = s.step_rand_int % self.num_themes(DUST_CLOUD)
 
-        def push_dust(i, decor):
-            f = default_fields(
-                e.x[i], e.y[i], 0.0, 0.0, e.rx[i], e.rx[i], DUST_CLOUD
-            )
-            f["vrot"] = PI / 0.3
-            f["grow_rate"] = 1.0 / 1.2
-            f["expire_time"] = 4
-            f["alpha_decay"] = 0.9
-            f["image_theme"] = theme
-            return decor.push(f, do=enemy_dies[i])
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, push_dust, s.decor))
+        f = default_fields(e.x, e.y, 0.0, 0.0, e.rx, e.rx, DUST_CLOUD)
+        f["vrot"] = PI / 0.3
+        f["grow_rate"] = 1.0 / 1.2
+        f["expire_time"] = 4
+        f["alpha_decay"] = 0.9
+        f["image_theme"] = theme
+        s = s.replace(decor=s.decor.push_many(f, enemy_dies))
         return s, d
 
     # -- reset --------------------------------------------------------------

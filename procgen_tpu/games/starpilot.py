@@ -72,6 +72,8 @@ class Starpilot(BasicAbstractGame):
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
     MAX_STEP_DRAWS = 8
+    # enemy bullets aim at the agent (face_direction, starpilot.cpp:389)
+    ARB_ROT_TYPES = (1, 2, 3)  # BULLET_PLAYER, BULLET2, BULLET3
     MAX_SUB_STEPS = 6
 
     def __init__(self, options):
@@ -247,16 +249,14 @@ class Starpilot(BasicAbstractGame):
             )
         )
 
-        def booms(i, decor):
-            tgt = jnp.max(jnp.where(pair[i], jnp.arange(self.ENT_CAP), -1))
-            ti = jnp.maximum(tgt, 0)
-            f = default_fields(
-                e.x[i], e.y[i], e.vx[ti], e.vy[ti], 0.5 * e.rx[i],
-                0.5 * e.rx[i], EXPLOSION,
-            )
-            return decor.push(f, do=bullet_hit[i])
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, booms, s.decor))
+        tgt = jnp.max(
+            jnp.where(pair, jnp.arange(self.ENT_CAP)[None, :], -1), axis=1
+        )
+        ti = jnp.maximum(tgt, 0)
+        f = default_fields(
+            e.x, e.y, e.vx[ti], e.vy[ti], 0.5 * e.rx, 0.5 * e.rx, EXPLOSION
+        )
+        s = s.replace(decor=s.decor.push_many(f, bullet_hit))
         return s, d
 
     # -- reset --------------------------------------------------------------
@@ -423,23 +423,23 @@ class Starpilot(BasicAbstractGame):
         )
         fires = turret_fires | other_fires
 
-        # reverse order pushes (C++ loop is reverse)
-        def fire_push_rev(j, ents):
-            i = self.ENT_CAP - 1 - j
-            btype = jnp.where(e.type[i] == TURRET, BULLET3, BULLET2)
-            br = jnp.asarray(self.hp_bullet_r, f32)[
-                jnp.clip(e.type[i], 0, NUM_BASIC_OBJECTS - 1)
-            ]
-            bvx = e.x[0] - e.x[i]
-            bvy = e.y[0] - e.y[i]
-            norm = jnp.sqrt(bvx * bvx + bvy * bvy)
-            vtab = jnp.asarray(self.hp_vs, f32)
-            sc = vtab[btype] * V_SCALE / jnp.maximum(norm, 1e-6)
-            f = default_fields(e.x[i], e.y[i], bvx * sc, bvy * sc, br, br, btype)
-            f["rotation"] = -jnp.arctan2(bvy * sc, bvx * sc) + (-PI / 2)
-            return ents.push(f, do=fires[i])
-
-        s = s.replace(ents=jax.lax.fori_loop(0, self.ENT_CAP, fire_push_rev, s.ents))
+        # reverse order pushes (C++ loop is reverse) — one batched push
+        rev = slice(None, None, -1)
+        btype = jnp.where(e.type == TURRET, BULLET3, BULLET2)
+        br = jnp.asarray(self.hp_bullet_r, f32)[
+            jnp.clip(e.type, 0, NUM_BASIC_OBJECTS - 1)
+        ]
+        bvx = e.x[0] - e.x
+        bvy = e.y[0] - e.y
+        norm = jnp.sqrt(bvx * bvx + bvy * bvy)
+        vtab = jnp.asarray(self.hp_vs, f32)
+        sc = vtab[btype] * V_SCALE / jnp.maximum(norm, 1e-6)
+        f = default_fields(
+            e.x[rev], e.y[rev], (bvx * sc)[rev], (bvy * sc)[rev],
+            br[rev], br[rev], btype[rev],
+        )
+        f["rotation"] = (-jnp.arctan2(bvy * sc, bvx * sc) + (-PI / 2))[rev]
+        s = s.replace(ents=s.ents.push_many(f, fires[rev]))
 
         e = s.ents
         dies = (
@@ -454,15 +454,12 @@ class Starpilot(BasicAbstractGame):
             ents=e.replace(will_erase=e.will_erase | dies),
         )
 
-        def death_booms(j, decor):
-            i = self.ENT_CAP - 1 - j
-            f = default_fields(
-                e.x[i], e.y[i], e.vx[i], e.vy[i], 0.5 * e.rx[i], 0.5 * e.rx[i],
-                EXPLOSION,
-            )
-            return decor.push(f, do=dies[i])
-
-        s = s.replace(decor=jax.lax.fori_loop(0, self.ENT_CAP, death_booms, s.decor))
+        rev = slice(None, None, -1)
+        f = default_fields(
+            e.x[rev], e.y[rev], e.vx[rev], e.vy[rev],
+            0.5 * e.rx[rev], 0.5 * e.rx[rev], EXPLOSION,
+        )
+        s = s.replace(decor=s.decor.push_many(f, dies[rev]))
 
         # release due spawners (starpilot.cpp:394-397)
         sp = s.game.spawners
