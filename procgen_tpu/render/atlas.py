@@ -54,6 +54,25 @@ def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+def _rotate_tile(pix: np.ndarray, theta: float) -> np.ndarray:
+    """Nearest-neighbor texture-space rotation by ``theta`` (clockwise in
+    screen coords, matching Qt rotate); out-of-source texels transparent.
+    theta = pi/2 reproduces the quarter-turn index remap exactly."""
+    S = pix.shape[0]
+    ii, jj = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
+    a = (jj + 0.5) / S - 0.5  # right+
+    b = (ii + 0.5) / S - 0.5  # down+
+    c, s_ = np.cos(theta), np.sin(theta)
+    p = a * c + b * s_
+    q = -a * s_ + b * c
+    sc = np.floor((p + 0.5) * S).astype(np.int64)
+    sr = np.floor((q + 0.5) * S).astype(np.int64)
+    inb = (sc >= 0) & (sc < S) & (sr >= 0) & (sr < S)
+    out = np.zeros_like(pix)
+    out[inb] = pix[sr[inb], sc[inb]]
+    return out
+
+
 class GridAtlas:
     """Pre-scaled grid-tile atlas + static (img, theme) -> row mapping."""
 
@@ -97,8 +116,57 @@ class GridAtlas:
         for i, (_, _, pix) in enumerate(entries):
             rows[i] = pix
         # final row = fully transparent (SPACE / unknown)
-        self.rows = rows  # [n+1, s, s, 4]
         self.transparent_row = n
+
+        # --- arbitrary-rotation bank (QPainter rotates sprites by real
+        # angles, qpainter.h:63-144; caveflyer ship etc.).  For image types
+        # the game declares in ARB_ROT_TYPES, bake ROT_BANK_K rotated
+        # variants (x2 for reflection, mirrored BEFORE rotating) so both
+        # renderers sample identically and stay separable.  Texture-space
+        # rotation inscribed in the entity rect (corners clip vs QPainter's
+        # overhang) — documented approximation, PARITY.md. -----------------
+        self.rot_k = int(getattr(game, "ROT_BANK_K", 16))
+        arb_types = set(getattr(game, "ARB_ROT_TYPES", ()) or ())
+        bank_start = np.full((n + 1,), -1, np.int64)
+        bank_rows = []
+        if arb_types:
+            k = self.rot_k
+            for i, ((t, th), (_, _, pix)) in enumerate(
+                zip(self.entries, entries)
+            ):
+                if t not in arb_types:
+                    continue
+                bank_start[i] = n + 1 + len(bank_rows)
+                for refl in (False, True):
+                    src = pix[:, ::-1] if refl else pix
+                    for b in range(k):
+                        bank_rows.append(
+                            _rotate_tile(src, 2.0 * np.pi * b / k)
+                        )
+        if bank_rows:
+            rows = np.concatenate([rows, np.stack(bank_rows)], axis=0)
+        self.rows = rows  # [n+1+bank, s, s, 4]
+        self.bank_start = bank_start  # base row -> first bank row (or -1)
+
+    def bank_row_for(self, base_row, refl, bucket):
+        """Bank row for (base sprite row, reflection, angle bucket); the
+        base row itself when the type has no bank.  Static where-chain."""
+        import jax.numpy as jnp
+
+        k = self.rot_k
+        out = jnp.asarray(base_row)
+        has = jnp.zeros(jnp.shape(base_row), bool)
+        for i, start in enumerate(self.bank_start):
+            if start < 0:
+                continue
+            sel = base_row == i
+            out = jnp.where(
+                sel,
+                int(start) + refl.astype(jnp.int32) * k + bucket,
+                out,
+            )
+            has = has | sel
+        return out, has
 
     def row_for(self, img, theme):
         """Static where-chain (no gather): (img, theme) -> atlas row."""

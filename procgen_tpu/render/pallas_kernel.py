@@ -384,14 +384,33 @@ def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
     #   use_t=0: orig[row_idx, refl ? S-1-col_idx : col_idx]
     #   use_t=1: origT[refl ? S-1-row_idx : row_idx, col_idx]
     # so pflip = rowflip ^ (use_t & refl), qflip = colflip ^ (~use_t & refl).
-    q = jnp.round(e.rotation * (2.0 / jnp.pi)).astype(i32) % 4
-    use_t = (q == 1) | (q == 3)
-    rowflip = (q == 2) | (q == 3)
-    colflip = (q == 1) | (q == 2)
+    # Non-quarter angles pick the pre-rotated bank row (reflection baked),
+    # no flips — identical selection logic to renderer._sprite_canvases.
+    qf = e.rotation * (2.0 / jnp.pi)
+    q = jnp.round(qf).astype(i32) % 4
     refl = e.is_reflected
+    if plan.ent_atlas is not None:
+        arb = jnp.abs(qf - jnp.round(qf)) > 1e-4
+        k = plan.ent_atlas.rot_k
+        bucket = jnp.round(
+            e.rotation * (k / (2.0 * jnp.pi))
+        ).astype(i32) % k
+        brow, has_bank = plan.ent_atlas.bank_row_for(
+            row_all, refl.astype(i32), bucket
+        )
+        use_bank = arb & has_bank
+    else:
+        use_bank = jnp.zeros(jnp.shape(q), bool)
+        brow = row_all
+    use_t = ((q == 1) | (q == 3)) & ~use_bank
+    rowflip = ((q == 2) | (q == 3)) & ~use_bank
+    colflip = ((q == 1) | (q == 2)) & ~use_bank
+    refl = refl & ~use_bank
     pflip = rowflip ^ (use_t & refl)
     qflip = colflip ^ (~use_t & refl)
-    row2 = row_all + jnp.where(use_t, plan.n1e, 0)
+    row2 = jnp.where(
+        use_bank, brow, row_all + jnp.where(use_t, plan.n1e, 0)
+    )
 
     tr = tile_ratio_all
     nt_h = jnp.maximum((w2 / (h2 * jnp.maximum(tr, 1e-6))).astype(i32), 1)

@@ -397,15 +397,27 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
         vi = jnp.clip((v_ * S).astype(i32), 0, S - 1)
 
         # quarter-turn rotation as index remap (Qt rotate = clockwise,
-        # draw_image cpp:908-916); q = nearest quarter
+        # draw_image cpp:908-916); q = nearest quarter.  Non-quarter angles
+        # sample the pre-rotated bank row instead (reflection baked in),
+        # quantized to ROT_BANK_K buckets — atlas.py bank docstring.
         rot = e.rotation[i]
-        q = jnp.round(rot * (2.0 / jnp.pi)).astype(i32) % 4
-        use_t = (q == 1) | (q == 3)
-        rowflip = (q == 2) | (q == 3)
-        colflip = (q == 1) | (q == 2)
+        qf = rot * (2.0 / jnp.pi)
+        q = jnp.round(qf).astype(i32) % 4
+        arb = jnp.abs(qf - jnp.round(qf)) > 1e-4
+        k = atlas.rot_k
+        bucket = jnp.round(rot * (k / (2.0 * jnp.pi))).astype(i32) % k
+        brow, has_bank = atlas.bank_row_for(
+            row_all[i], e.is_reflected[i].astype(i32), bucket
+        )
+        use_bank = arb & has_bank
 
-        img = jax.lax.dynamic_index_in_dim(rows, row_all[i], keepdims=False)
-        img = jnp.where(e.is_reflected[i], img[:, ::-1], img)
+        use_t = ((q == 1) | (q == 3)) & ~use_bank
+        rowflip = ((q == 2) | (q == 3)) & ~use_bank
+        colflip = ((q == 1) | (q == 2)) & ~use_bank
+
+        row_i = jnp.where(use_bank, brow, row_all[i])
+        img = jax.lax.dynamic_index_in_dim(rows, row_i, keepdims=False)
+        img = jnp.where(e.is_reflected[i] & ~use_bank, img[:, ::-1], img)
         img = jnp.where(use_t, jnp.swapaxes(img, 0, 1), img)
         imgf = img.astype(bf16)
 

@@ -27,12 +27,28 @@ def _mk_states(game, n, seed=0):
     return jax.vmap(lambda s: lifecycle.env_reset(game, s))(states)
 
 
-@pytest.mark.parametrize("env_name", [
+# representative set by default (interpret-mode replays are execution-bound
+# at ~30s/game); the full 16-game sweep runs under -m slow
+FAST_GAMES = ["maze", "coinrun", "caveflyer", "dodgeball", "miner", "starpilot"]
+ALL_GAMES = [
     "maze", "miner", "chaser", "bigfish", "coinrun", "heist", "ninja",
     "leaper", "caveflyer", "plunder", "climber", "jumper", "dodgeball",
     "fruitbot", "bossfight", "starpilot",
-])
+]
+
+
+@pytest.mark.parametrize("env_name", FAST_GAMES)
 def test_pallas_matches_xla(env_name):
+    _check_pallas_matches_xla(env_name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_name", [g for g in ALL_GAMES if g not in FAST_GAMES])
+def test_pallas_matches_xla_rest(env_name):
+    _check_pallas_matches_xla(env_name)
+
+
+def _check_pallas_matches_xla(env_name):
     game = make_game(env_name, GameOptions(distribution_mode=EASY_MODE))
     game.level_seed_low, game.level_seed_high = 0, INT32_MAX
     if not pallas_kernel.supports(game):
@@ -70,6 +86,34 @@ def test_pallas_generated_assets_bg():
     game.fixed_asset_seed = int(np.int32(np.uint32(fnv1a_32("maze"))))
     assert pallas_kernel.supports(game)
     states = _mk_states(game, 4)
+    ref = jax.jit(jax.vmap(lambda s: render_obs(game, s, 64)))(states)
+    out = jax.jit(
+        lambda st: pallas_kernel.render_obs_batch(game, st, 64,
+                                                  interpret=True)
+    )(states)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_pallas_arbitrary_rotation_caveflyer():
+    """Non-quarter rotation (VERDICT item 7): the caveflyer ship rotates by
+    arbitrary angles; both renderers sample the same quantized rotation
+    bank (atlas.py ARB_ROT_TYPES) and must stay bit-equal with rotation
+    actually exercised."""
+    game = make_game("caveflyer", GameOptions(distribution_mode=EASY_MODE))
+    game.level_seed_low, game.level_seed_high = 0, INT32_MAX
+    assert pallas_kernel.supports(game)
+    states = _mk_states(game, 4)
+
+    # rotate + thrust so the ship angle leaves the quarter grid
+    step = jax.jit(
+        jax.vmap(lambda s, a: lifecycle.env_step(game, s, a)[0])
+    )
+    for ac in (2, 2, 5, 1, 8, 2):
+        states = step(states, jnp.full((4,), ac, jnp.int32))
+    rot = np.asarray(states.ents.rotation[:, 0])
+    frac = np.abs(rot * 2 / np.pi - np.round(rot * 2 / np.pi))
+    assert (frac > 1e-3).all(), f"rotation not exercised: {rot}"
+
     ref = jax.jit(jax.vmap(lambda s: render_obs(game, s, 64)))(states)
     out = jax.jit(
         lambda st: pallas_kernel.render_obs_batch(game, st, 64,
