@@ -26,8 +26,21 @@ def make_env(rand_seed, env_name):
     )
 
 
-@pytest.mark.parametrize("env_name", GAMES)
+FAST_GAMES = ["maze", "coinrun", "caveflyer", "dodgeball", "miner", "starpilot"]
+
+
+@pytest.mark.parametrize("env_name", FAST_GAMES)
 def test_state_roundtrip_and_replay(env_name):
+    _check_state_roundtrip(env_name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_name", [g for g in GAMES if g not in FAST_GAMES])
+def test_state_roundtrip_and_replay_rest(env_name):
+    _check_state_roundtrip(env_name)
+
+
+def _check_state_roundtrip(env_name):
     rng = np.random.RandomState(42)
     actions = rng.randint(0, 15, size=(NUM_STEPS, NUM_ENVS))
 

@@ -39,12 +39,18 @@ def main() -> int:
     ap.add_argument("--games", default=",".join(GAMES))
     ap.add_argument("--modes", default="easy,hard")
     ap.add_argument("--record-only", action="store_true")
+    ap.add_argument(
+        "--tpu", action="store_true",
+        help="replay on the real chip (conformance is logic-only; TPU "
+        "compiles are much faster than the 2-core CPU)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/procgen_tpu_xla")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
