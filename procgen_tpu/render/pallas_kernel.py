@@ -51,6 +51,9 @@ f32 = jnp.float32
 i32 = jnp.int32
 bf16 = jnp.bfloat16
 u8 = jnp.uint8
+# Plan constants are stored as NUMPY (converted at use): a plan built while
+# tracing would otherwise cache tracers and poison later jits of other envs
+_np_bf16 = np.dtype(jnp.bfloat16.dtype)
 
 RES = 64
 
@@ -100,24 +103,21 @@ class PallasPlan:
 
             self.BH = self.BW = _ag.CAN
             self.nb = 1
-            self.bg_flat = jnp.zeros((1, 1), bf16)  # source is per-env
-            self.bg_aspects = jnp.ones((1,), f32)
+            self.bg_flat = np.zeros((1, 1), _np_bf16)  # source is per-env
+            self.bg_aspects = np.ones((1,), np.float32)
         elif bg_atlas is not None:
             self.BH, self.BW = bg_atlas.BH, bg_atlas.BW
             self.nb = bg_atlas.pixels.shape[0]
             pix = bg_atlas.pixels.astype(np.float32)  # [nb, BH, BW, 3]
-            self.bg_flat = jnp.asarray(
-                np.transpose(pix, (3, 0, 1, 2)).reshape(
-                    3 * self.nb * self.BH, self.BW
-                ),
-                bf16,
-            )
-            self.bg_aspects = jnp.asarray(bg_atlas.aspects)
+            self.bg_flat = np.transpose(pix, (3, 0, 1, 2)).reshape(
+                3 * self.nb * self.BH, self.BW
+            ).astype(_np_bf16)
+            self.bg_aspects = np.asarray(bg_atlas.aspects, np.float32)
         else:
             self.BH = self.BW = 8
             self.nb = 1
-            self.bg_flat = jnp.zeros((3 * 8, 8), bf16)
-            self.bg_aspects = jnp.ones((1,), f32)
+            self.bg_flat = np.zeros((3 * 8, 8), _np_bf16)
+            self.bg_aspects = np.ones((1,), np.float32)
 
         # --- grid tiles: resampled in-kernel from a per-env aligned canvas
         # built by prep (renderer.grid_tile_canvas) — [5, GS, GS] planar
@@ -139,16 +139,13 @@ class PallasPlan:
             both = np.concatenate(
                 [rows, np.transpose(rows, (0, 2, 1, 3))], axis=0
             )  # [2*n1e, S, S, 4]
-            self.ent_flat = jnp.asarray(
-                np.transpose(both, (3, 0, 1, 2)).reshape(
-                    4 * 2 * self.n1e * self.S, self.S
-                ),
-                bf16,
-            )
+            self.ent_flat = np.transpose(both, (3, 0, 1, 2)).reshape(
+                4 * 2 * self.n1e * self.S, self.S
+            ).astype(_np_bf16)
         else:
             self.S = 2
             self.n1e = 1
-            self.ent_flat = jnp.zeros((4 * 2 * 1 * 2, 2), bf16)
+            self.ent_flat = np.zeros((4 * 2 * 1 * 2, 2), _np_bf16)
 
 
 _PLANS: dict = {}
@@ -256,7 +253,7 @@ def _prep_one(plan: PallasPlan, s):
             num_tiles = jnp.maximum((mr_h / (mr_w * ratio)).astype(i32), 1)
             sf = sf.at[SF_TILEH].set(mr_h / num_tiles.astype(f32))
         else:
-            bg_ar = plan.bg_aspects[bi]
+            bg_ar = jnp.asarray(plan.bg_aspects)[bi]
             world_ar = w / h
             extra_w = bg_ar - world_ar
             offx = s.bg_pct_x * extra_w
@@ -832,7 +829,7 @@ def render_obs_batch(game, states, res: int = RES, interpret=None):
     call = _pallas_call(plan, N, interpret)
     out = call(
         sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc,
-        plan.bg_flat, plan.ent_flat,
+        jnp.asarray(plan.bg_flat), jnp.asarray(plan.ent_flat),
     )
     obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)
 
