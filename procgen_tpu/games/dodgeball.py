@@ -60,8 +60,11 @@ class DodgeballState:
 class Dodgeball(BasicAbstractGame):
     name = "dodgeball"
     ENT_CAP = 72
-    # balls spin continuously (BALL_V_ROT); agent/enemies face diagonals
-    ARB_ROT_TYPES = (0, 3, 4, 6)  # PLAYER, PLAYER_BALL, ENEMY, ENEMY_BALL
+    # balls spin continuously (BALL_V_ROT); the agent faces diagonals.
+    # ENEMY (11 themes) is excluded: its bank alone is ~6MB of kernel
+    # constants (breaks the Mosaic compile) for 45-degree facing only —
+    # enemies keep the quarter-turn snap.
+    ARB_ROT_TYPES = (0, 3, 6)  # PLAYER, PLAYER_BALL, ENEMY_BALL
     DECOR_CAP = 16  # dust clouds
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True

@@ -240,8 +240,16 @@ class Starpilot(BasicAbstractGame):
             dx < e.rx[:, None] + e.rx[None, :] + e.collision_margin[:, None]
         ) & (dy < e.ry[:, None] + e.ry[None, :] + e.collision_margin[:, None])
         pair = overlap & is_pb[:, None] & is_target[None, :]
-        bullet_hit = jnp.any(pair, axis=1)
-        hits = jnp.sum(pair, axis=0).astype(f32)
+        # a bullet erases on its FIRST dispatched pair (inner loop reverse:
+        # highest target slot) and the will_erase guard blocks the rest —
+        # each bullet damages exactly ONE target (starpilot.cpp:140,
+        # basic-abstract-game.cpp:741)
+        tgt = jnp.max(
+            jnp.where(pair, jnp.arange(self.ENT_CAP)[None, :], -1), axis=1
+        )
+        pair_win = pair & (jnp.arange(self.ENT_CAP)[None, :] == tgt[:, None])
+        bullet_hit = tgt >= 0
+        hits = jnp.sum(pair_win, axis=0).astype(f32)
         s = s.replace(
             ents=e.replace(
                 will_erase=e.will_erase | bullet_hit,
@@ -249,9 +257,6 @@ class Starpilot(BasicAbstractGame):
             )
         )
 
-        tgt = jnp.max(
-            jnp.where(pair, jnp.arange(self.ENT_CAP)[None, :], -1), axis=1
-        )
         ti = jnp.maximum(tgt, 0)
         f = default_fields(
             e.x, e.y, e.vx[ti], e.vy[ti], 0.5 * e.rx, 0.5 * e.rx, EXPLOSION
