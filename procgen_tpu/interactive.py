@@ -12,11 +12,55 @@ reference's save/load bindings (interactive.py:11-25).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
 
 from .env import ProcgenGym3Env
+
+
+class EpisodeRecorder:
+    """Per-episode video recording (reference: interactive.py:28-49 wires
+    gym3.VideoRecorderWrapper when --record-dir is given).
+
+    Writes one artifact per finished episode into ``directory``:
+    ``episode_{k:05d}.npz`` with the uint8 frame stack [T,H,W,3], plus an
+    animated ``episode_{k:05d}.gif`` when pillow is importable (the
+    container has no ffmpeg, so mp4 is not an option here).
+    """
+
+    def __init__(self, directory: str, fps: int = 15):
+        self.directory = directory
+        self.fps = fps
+        self.frames: list[np.ndarray] = []
+        self.episode = 0
+        os.makedirs(directory, exist_ok=True)
+
+    def append(self, frame: np.ndarray) -> None:
+        self.frames.append(np.asarray(frame, np.uint8))
+
+    def flush(self) -> None:
+        if not self.frames:
+            return
+        stack = np.stack(self.frames)
+        base = os.path.join(self.directory, f"episode_{self.episode:05d}")
+        np.savez_compressed(base + ".npz", frames=stack, fps=self.fps)
+        try:
+            from PIL import Image
+
+            imgs = [Image.fromarray(f) for f in stack]
+            imgs[0].save(
+                base + ".gif",
+                save_all=True,
+                append_images=imgs[1:],
+                duration=int(1000 / self.fps),
+                loop=0,
+            )
+        except ImportError:
+            pass
+        self.frames = []
+        self.episode += 1
 
 
 KEY_TO_COMBO = {
@@ -61,6 +105,12 @@ def main(argv=None):
     parser.add_argument("--paint-vel-info", action="store_true")
     parser.add_argument("--use-sequential-levels", action="store_true")
     parser.add_argument("--steps", type=int, default=0, help="0 = run until quit")
+    parser.add_argument(
+        "--record-dir",
+        default=None,
+        help="directory to record episode videos to "
+        "(reference: interactive.py:28-49)",
+    )
     args = parser.parse_args(argv)
 
     kwargs = {
@@ -79,6 +129,9 @@ def main(argv=None):
         kwargs["start_level"] = args.start_level
 
     env = ProcgenGym3Env(**kwargs)
+    recorder = (
+        EpisodeRecorder(args.record_dir) if args.record_dir is not None else None
+    )
 
     import curses
 
@@ -119,6 +172,11 @@ def main(argv=None):
             rew, obs, first = env.observe()
             episode_return = float(rew[0]) + (0.0 if first[0] else episode_return)
 
+            if recorder is not None:
+                if first[0]:
+                    recorder.flush()
+                recorder.append(np.asarray(obs["rgb"][0]))
+
             frame = _frame_to_ansi(obs["rgb"][0])
             stdscr.erase()
             try:
@@ -133,7 +191,11 @@ def main(argv=None):
             t += 1
             time.sleep(1 / 15)  # 15 Hz, README.md:105
 
-    curses.wrapper(run)
+    try:
+        curses.wrapper(run)
+    finally:
+        if recorder is not None:
+            recorder.flush()
 
 
 if __name__ == "__main__":

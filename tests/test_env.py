@@ -232,3 +232,29 @@ def test_reset_pool_equivalence(env_name, monkeypatch):
     b = collect(False)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_episode_recorder(tmp_path):
+    """interactive --record-dir analogue of the reference's
+    VideoRecorderWrapper wiring (reference interactive.py:28-49)."""
+    from procgen_tpu.interactive import EpisodeRecorder
+
+    rec = EpisodeRecorder(str(tmp_path), fps=15)
+    rng = np.random.RandomState(0)
+    for _ in range(7):
+        rec.append(rng.randint(0, 255, size=(64, 64, 3), dtype=np.uint8))
+    rec.flush()
+    for _ in range(3):
+        rec.append(rng.randint(0, 255, size=(64, 64, 3), dtype=np.uint8))
+    rec.flush()
+    rec.flush()  # empty flush is a no-op
+
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    assert "episode_00000.npz" in files and "episode_00001.npz" in files
+    ep0 = np.load(tmp_path / "episode_00000.npz")
+    assert ep0["frames"].shape == (7, 64, 64, 3)
+    assert int(ep0["fps"]) == 15
+    ep1 = np.load(tmp_path / "episode_00001.npz")
+    assert ep1["frames"].shape == (3, 64, 64, 3)
