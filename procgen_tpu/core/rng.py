@@ -222,6 +222,37 @@ class Draws:
         d, f = self.rand01_if(cond)
         return d, f > 0.5
 
+    # vectorized draws: read many words at computed offsets at once, for
+    # exact rewrites of sequential conditional-draw loops (e.g. the
+    # reverse-slot enemy AI at dodgeball.cpp:398-443).  Per-lane offsets
+    # come from a prefix sum over per-lane draw counts in the loop's
+    # iteration order; lanes whose condition is false read a clipped
+    # (garbage) word that the caller masks out, then the caller
+    # ``advance``s the cursor by the total consumed count.
+
+    def peek_at(self, offsets):
+        """Tempered words at ``cursor + offsets`` (any shape), no advance.
+
+        One-hot matmul instead of a gather — XLA-TPU serializes small
+        gathers through SMEM; 32-bit exactness is kept by 16-bit split
+        accumulation (same scheme as ``Entities.push_many``).
+        """
+        offs = jnp.asarray(offsets, i32)
+        K = self.block.shape[0]
+        idx = jnp.clip(self.cursor + offs, 0, K - 1)
+        oh = (idx[..., None] == jnp.arange(K)).astype(jnp.float32)
+        lo = (self.block & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (self.block >> jnp.uint32(16)).astype(jnp.float32)
+        ylo = jnp.einsum("...k,k->...", oh, lo)
+        yhi = jnp.einsum("...k,k->...", oh, hi)
+        return ylo.astype(jnp.uint32) | (
+            yhi.astype(jnp.uint32) << jnp.uint32(16)
+        )
+
+    def advance(self, n) -> "Draws":
+        """Consume ``n`` words previously read via ``peek_at``."""
+        return self.replace(cursor=self.cursor + jnp.asarray(n, i32))
+
 
 def normalize(state: MTState) -> MTState:
     """Fold a pending boundary twist so that pos < N.
