@@ -100,19 +100,32 @@ class Entities:
     # -- slot updates -------------------------------------------------------
 
     def set_fields(self, slot, **fields) -> "Entities":
-        """Functionally write scalar fields of one slot."""
-        upd = {}
-        for k, v in fields.items():
-            arr = getattr(self, k)
-            upd[k] = arr.at[slot].set(jnp.asarray(v, arr.dtype))
-        return self.replace(**upd)
+        """Functionally write scalar fields of one slot.
+
+        Static slots use a (free) indexed update; traced slots use a
+        one-hot masked select — a traced-index scatter is SMEM-serialized
+        on TPU."""
+        if isinstance(slot, int):
+            upd = {}
+            for k, v in fields.items():
+                arr = getattr(self, k)
+                upd[k] = arr.at[slot].set(jnp.asarray(v, arr.dtype))
+            return self.replace(**upd)
+        return self.set_fields_where(slot, True, **fields)
 
     def set_fields_where(self, slot, cond, **fields) -> "Entities":
         upd = {}
-        for k, v in fields.items():
-            arr = getattr(self, k)
-            new = jnp.asarray(v, arr.dtype)
-            upd[k] = arr.at[slot].set(jnp.where(cond, new, arr[slot]))
+        if isinstance(slot, int):
+            for k, v in fields.items():
+                arr = getattr(self, k)
+                new = jnp.asarray(v, arr.dtype)
+                upd[k] = arr.at[slot].set(jnp.where(cond, new, arr[slot]))
+        else:
+            m = (jnp.arange(self.cap) == slot) & cond
+            for k, v in fields.items():
+                arr = getattr(self, k)
+                new = jnp.broadcast_to(jnp.asarray(v, arr.dtype), arr.shape)
+                upd[k] = jnp.where(m, new, arr)
         return self.replace(**upd)
 
     def push(self, fields: dict[str, Any], do=True) -> "Entities":

@@ -40,6 +40,23 @@ f32 = jnp.float32
 i32 = jnp.int32
 
 
+def onehot_select(si, *arrays):
+    """Values of [cap] arrays at traced slot ``si`` via ONE one-hot matmul.
+
+    The obvious ``arr[si]`` is a traced-index gather, which XLA-TPU
+    serializes through SMEM (measured ~2.4ms per [4096, cap] lookup under
+    the env vmap); the one-hot einsum is a single MXU/VPU op and exact for
+    f32 (one nonzero term of 1.0*v, rest 0.0*finite).  Static slots take
+    the plain (free) indexed read."""
+    if isinstance(si, int):
+        return tuple(a[si] for a in arrays)
+    cap = arrays[0].shape[0]
+    oh = (jnp.arange(cap) == si).astype(f32)
+    F = jnp.stack([a.astype(f32) for a in arrays], axis=-1)  # [cap, k]
+    vals = jnp.einsum("c,cf->f", oh, F)
+    return tuple(vals[i].astype(arrays[i].dtype) for i in range(len(arrays)))
+
+
 def tree_where(cond, a, b):
     """Leaf-wise select, skipping leaves the branch never touched.
 
@@ -863,8 +880,7 @@ class BasicAbstractGame:
     def check_grid_collisions(self, s: BasicState, d, slot):
         """cpp:145-165 — probe the entity's AABB cells and dispatch."""
         e = s.ents
-        ax, ay = e.x[slot], e.y[slot]
-        arx, ary = e.rx[slot], e.ry[slot]
+        ax, ay, arx, ary = onehot_select(slot, e.x, e.y, e.rx, e.ry)
         min_x = jnp.trunc(ax - (arx + POS_EPS)).astype(i32)
         max_x = jnp.trunc(ax + (arx + POS_EPS)).astype(i32)
         min_y = jnp.trunc(ay - (ary + POS_EPS)).astype(i32)
@@ -893,6 +909,41 @@ class BasicAbstractGame:
         with ANY_COLLIDES_WITH_ENTITIES; override per game."""
         return s, d
 
+    def dispatch_grid_vec(self, s, d):
+        """Vectorised grid-collision dispatch for DISPATCH_VECTORIZED games
+        whose grid handler acts on non-agent smart entities too (override
+        per game, reproducing the reverse-slot sequential semantics)."""
+        raise NotImplementedError(
+            f"{self.name}: DISPATCH_VECTORIZED without GRID_HANDLER_AGENT_ONLY "
+            "requires a dispatch_grid_vec override"
+        )
+
+    def probe_cells(self, s):
+        """The 2x2 grid cells check_grid_collisions probes, for ALL slots
+        at once (cpp:145-165): returns (ix, iy, in_range, gtype) each
+        [cap, GRID_COLLISION_RANGE**2] in (dx, dy) probe order."""
+        e = s.ents
+        ax, ay = e.x, e.y
+        arx, ary = e.rx, e.ry
+        min_x = jnp.trunc(ax - (arx + POS_EPS)).astype(i32)
+        max_x = jnp.trunc(ax + (arx + POS_EPS)).astype(i32)
+        min_y = jnp.trunc(ay - (ary + POS_EPS)).astype(i32)
+        max_y = jnp.trunc(ay + (ary + POS_EPS)).astype(i32)
+        r = self.GRID_COLLISION_RANGE
+        ix, iy, inr = [], [], []
+        for dx in range(r):
+            for dy in range(r):
+                x = min_x + dx
+                y = min_y + dy
+                ix.append(x)
+                iy.append(y)
+                inr.append((x <= max_x) & (y <= max_y))
+        ix = jnp.stack(ix, axis=-1)
+        iy = jnp.stack(iy, axis=-1)
+        inr = jnp.stack(inr, axis=-1)
+        gtype = self.get_obj_from_floats(s, ix.astype(f32), iy.astype(f32))
+        return ix, iy, inr, gtype
+
     def dispatch_collisions(self, s: BasicState, d):
         """cpp:728-750: agent / entity-pair / grid collision dispatch.
 
@@ -907,36 +958,61 @@ class BasicAbstractGame:
                 type(self).handle_grid_collision
                 is not BasicAbstractGame.handle_grid_collision
             ):
-                assert self.GRID_HANDLER_AGENT_ONLY
-                s2, d2 = self.check_grid_collisions(s, d, 0)
-                do = s.ents.smart_step[0] & (s.ents.count > 0)
-                s = tree_where(do, s2, s)
-                d = tree_where(do, d2, d)
+                if self.GRID_HANDLER_AGENT_ONLY:
+                    s2, d2 = self.check_grid_collisions(s, d, 0)
+                    do = s.ents.smart_step[0] & (s.ents.count > 0)
+                    s = tree_where(do, s2, s)
+                    d = tree_where(do, d2, d)
+                else:
+                    # game-specific vectorised equivalent of the reverse
+                    # per-smart-slot grid dispatch (must be overridden)
+                    s, d = self.dispatch_grid_vec(s, d)
             return s, d
 
         cap = self.ENT_CAP
 
+        # Sequential reverse scan (handler effects are order-sensitive).
+        # All per-slot reads avoid traced-index gathers (XLA-TPU serializes
+        # them through SMEM): [cap]-mask one-hots for scalars, onehot_select
+        # inside game handlers, one-hot masked writes in set_fields_where.
         def body(carry, j):
             s, d = carry
             i = cap - 1 - j
+            oh_i = jnp.arange(cap) == i
             live = i < s.ents.count
 
-            hit_agent = self.has_agent_collision_mask(s)[i] & live
+            hit_agent = (
+                jnp.any(self.has_agent_collision_mask(s) & oh_i) & live
+            )
             s2, d2 = self.handle_agent_collision(s, d, i)
             s = tree_where(hit_agent, s2, s)
             d = tree_where(hit_agent, d2, d)
 
             if self.ANY_COLLIDES_WITH_ENTITIES:
+                # geometry is static during dispatch; will_erase is NOT
+                # (handlers set it mid-loop, cpp:735-745) so it reads live
+                e = s.ents
+                xi, yi, rxi, ryi, margin = onehot_select(
+                    i, e.x, e.y, e.rx, e.ry, e.collision_margin
+                )
+                coll_geo = (
+                    (jnp.abs(xi - e.x) < rxi + e.rx + margin)
+                    & (jnp.abs(yi - e.y) < ryi + e.ry + margin)
+                ) & live
+
                 def inner(carry, jj):
                     s, d = carry
                     k = cap - 1 - jj
-                    live2 = (k < s.ents.count) & (k != i) & live
+                    oh_k = jnp.arange(cap) == k
+                    e2 = s.ents
+                    we = e2.will_erase
+                    live2 = (k < e2.count) & (k != i)
                     hit = (
                         live2
-                        & s.ents.collides_with_entities[i]
-                        & self.has_collision(s, i, k, s.ents.collision_margin[i])
-                        & ~s.ents.will_erase[i]
-                        & ~s.ents.will_erase[k]
+                        & jnp.any(coll_geo & oh_k)
+                        & jnp.any(e2.collides_with_entities & oh_i)
+                        & ~jnp.any(we & oh_i)
+                        & ~jnp.any(we & oh_k)
                     )
                     s3, d3 = self.handle_collision(s, d, i, k)
                     s = tree_where(hit, s3, s)
@@ -945,7 +1021,7 @@ class BasicAbstractGame:
 
                 (s, d), _ = jax.lax.scan(inner, (s, d), jnp.arange(cap))
 
-            do_grid = live & s.ents.smart_step[i]
+            do_grid = live & jnp.any(s.ents.smart_step & oh_i)
             s4, d4 = self.check_grid_collisions(s, d, i)
             s = tree_where(do_grid, s4, s)
             d = tree_where(do_grid, d4, d)

@@ -173,7 +173,9 @@ class Draws:
     cursor: jax.Array  # int32 scalar, number of words consumed so far
 
     def take_u32(self) -> tuple["Draws", jax.Array]:
-        y = jax.lax.dynamic_index_in_dim(self.block, self.cursor, keepdims=False)
+        # one-hot read (peek_at), not dynamic_index: a per-env traced-index
+        # gather is SMEM-serialized under the env vmap on TPU
+        y = self.peek_at(jnp.zeros((), i32))
         return self.replace(cursor=self.cursor + 1), y
 
     def randint(self, low, high):
@@ -200,7 +202,7 @@ class Draws:
     # C++ draw sites); the value is only meaningful when ``cond``.
 
     def take_u32_if(self, cond):
-        y = jax.lax.dynamic_index_in_dim(self.block, self.cursor, keepdims=False)
+        y = self.peek_at(jnp.zeros((), i32))
         return (
             self.replace(cursor=self.cursor + jnp.asarray(cond).astype(i32)),
             y,

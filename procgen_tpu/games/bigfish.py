@@ -12,7 +12,7 @@ from flax import struct
 
 from ..core.constants import EASY_MODE, PLAYER
 from ..core.entities import default_fields
-from ..core.game import BasicAbstractGame, BasicState, tree_where
+from ..core.game import BasicAbstractGame, BasicState, onehot_select, tree_where
 from .registry import register
 
 i32 = jnp.int32
@@ -75,8 +75,9 @@ class Bigfish(BasicAbstractGame):
     def handle_agent_collision(self, s: BasicState, d, i):
         """bigfish.cpp:46-59 — die to bigger fish, eat smaller ones."""
         e = s.ents
-        is_fish = e.type[i] == FISH
-        bigger = e.rx[i] > e.rx[0]
+        ti, rxi = onehot_select(i, e.type, e.rx)
+        is_fish = ti == FISH
+        bigger = rxi > e.rx[0]
         die = is_fish & bigger
         eat = is_fish & ~bigger
         g = s.game

@@ -22,7 +22,7 @@ from ..core.constants import (
     WALL_OBJ,
 )
 from ..core.entities import default_fields
-from ..core.game import BasicAbstractGame, BasicState, tree_where
+from ..core.game import BasicAbstractGame, BasicState, onehot_select, tree_where
 from ..levelgen import maze as mazegen
 from .registry import register
 
@@ -156,7 +156,7 @@ class Chaser(BasicAbstractGame):
     def handle_agent_collision(self, s, d, i):
         # chaser.cpp:122-137
         e = s.ents
-        t = e.type[i]
+        (t,) = onehot_select(i, e.type)
         large = t == LARGE_ORB
         enemy = t == ENEMY
         can_eat = self._can_eat(s)

@@ -23,7 +23,7 @@ from ..core.constants import (
     PLAYER,
 )
 from ..core.entities import default_fields
-from ..core.game import BasicAbstractGame, BasicState, tree_where
+from ..core.game import BasicAbstractGame, BasicState, onehot_select, tree_where
 from .registry import register
 
 i32 = jnp.int32
@@ -182,10 +182,15 @@ class Dodgeball(BasicAbstractGame):
         any_hit = jnp.any(coll)
         src = jnp.max(jnp.where(coll, slots, -1))
         si = jnp.maximum(src, 0)
-        delx = e.x[si] - rec["x"]
-        dely = e.y[si] - rec["y"]
-        rsumx = e.rx[si] + rec["rx"]
-        rsumy = e.ry[si] + rec["ry"]
+        # one-hot matmul slot select, NOT e.x[si] gathers: under the slot
+        # vmap a traced-index gather serializes through SMEM on TPU
+        # (4 fields x 10 axis passes of [4096, cap] lookups dominated the
+        # whole step: 129 of 141ms logic at 4096 envs)
+        sx, sy, srx, sry = onehot_select(si, e.x, e.y, e.rx, e.ry)
+        delx = sx - rec["x"]
+        dely = sy - rec["y"]
+        rsumx = srx + rec["rx"]
+        rsumy = sry + rec["ry"]
         bx = rec["x"] + jnp.where(vx > 0, -2 * (rsumx - delx), 2 * (rsumx + delx))
         by = rec["y"] + jnp.where(vy > 0, -2 * (rsumy - dely), 2 * (rsumy + dely))
         rec = dict(rec)

@@ -27,7 +27,7 @@ from ..core.constants import (
     WALL_OBJ,
 )
 from ..core.entities import default_fields
-from ..core.game import BasicAbstractGame, BasicState, tree_where
+from ..core.game import BasicAbstractGame, BasicState, onehot_select, tree_where
 from ..levelgen import maze as mazegen
 from .registry import register
 
@@ -131,7 +131,7 @@ class Heist(BasicAbstractGame):
         e = s.ents
         horiz = vx != 0
         slots = jnp.arange(self.ENT_CAP)
-        locked = ~s.game.has_keys[jnp.clip(e.image_theme, 0, 2)]
+        locked = ~self._key_held(s, e.image_theme)
         blocking = (
             e.active
             & (slots != 0)
@@ -150,16 +150,16 @@ class Heist(BasicAbstractGame):
         def sign(v):
             return jnp.where(v > 0, 1.0, jnp.where(v < 0, -1.0, 0.0))
 
-        rsum = jnp.where(
-            horiz, e.rx[src] + rec["rx"], e.ry[src] + rec["ry"]
-        )
-        delx = rec["x"] - e.x[src]
-        dely = rec["y"] - e.y[src]
+        # one-hot select, not e.x[src] gathers (SMEM-serialized on TPU)
+        sx, sy, srx, sry = onehot_select(src, e.x, e.y, e.rx, e.ry)
+        rsum = jnp.where(horiz, srx + rec["rx"], sry + rec["ry"])
+        delx = rec["x"] - sx
+        dely = rec["y"] - sy
         t_vx = jnp.where(
-            horiz & any_hit, e.x[src] + sign(delx) * rsum - rec["x"], 0.0
+            horiz & any_hit, sx + sign(delx) * rsum - rec["x"], 0.0
         )
         t_vy = jnp.where(
-            ~horiz & any_hit, e.y[src] + sign(dely) * rsum - rec["y"], 0.0
+            ~horiz & any_hit, sy + sign(dely) * rsum - rec["y"], 0.0
         )
         s2, rec2, _ = self._sub_step_rec(s, rec, t_vx, t_vy, self.PUSH_DEPTH, False)
         rec = tree_where(any_hit, rec2, rec)
@@ -168,29 +168,36 @@ class Heist(BasicAbstractGame):
         rec["vy"] = jnp.where(any_hit & ~horiz, 0.0, rec["vy"])
         return s, rec, any_hit
 
+    @staticmethod
+    def _key_held(s, theme):
+        """has_keys[clip(theme, 0, 2)] as a static-index where-chain (a
+        traced-index gather is SMEM-serialized on TPU)."""
+        hk = s.game.has_keys
+        t = jnp.clip(theme, 0, 2)
+        return jnp.where(t == 0, hk[0], jnp.where(t == 1, hk[1], hk[2]))
+
     def should_draw_entity_mask(self, s):
         e = s.ents
         ring = e.type == KEY_ON_RING
-        held = s.game.has_keys[jnp.clip(e.image_theme, 0, 2)]
+        held = self._key_held(s, e.image_theme)
         return ~ring | held
 
     def handle_agent_collision(self, s, d, i):
         # heist.cpp:81-97 (note: EXIT *assigns* the reward)
         e = s.ents
-        t = e.type[i]
+        t, theme0 = onehot_select(i, e.type, e.image_theme)
         exit_ = t == EXIT
         key = t == KEY
-        theme = jnp.clip(e.image_theme[i], 0, 2)
-        door_open = (t == LOCKED_DOOR) & s.game.has_keys[theme]
+        theme = jnp.clip(theme0, 0, 2)
+        door_open = (t == LOCKED_DOOR) & self._key_held(s, theme)
         s = s.replace(
             done=s.done | exit_,
             reward=jnp.where(exit_, f32(COMPLETION_BONUS), s.reward),
             level_complete=s.level_complete | exit_,
             ents=e.set_fields_where(i, key | door_open, will_erase=True),
             game=s.game.replace(
-                has_keys=s.game.has_keys.at[theme].set(
-                    s.game.has_keys[theme] | key
-                )
+                # one-hot update, not .at[theme] (traced-index scatter)
+                has_keys=s.game.has_keys | (key & (jnp.arange(3) == theme))
             ),
         )
         return s, d

@@ -550,8 +550,9 @@ def _make_kernel(plan: PallasPlan, B: int):
                     img_c = bg_ref[pl.ds((c * nb + bgrow) * BH, BH), :]
                 t1 = jnp.dot(R, img_c, preferred_element_type=f32)
                 obs.append(jnp.dot(t1, Ct, preferred_element_type=f32))
+            obs = jnp.stack(obs)  # [3,res,res]: channel ops fuse downstream
         else:
-            obs = [jnp.zeros((res, res), f32) for _ in range(3)]
+            obs = jnp.zeros((3, res, res), f32)
 
         # ---- entity sprite canvases (both pools, one pass each) ---------
         def zero(ref, n):
@@ -561,83 +562,122 @@ def _make_kernel(plan: PallasPlan, B: int):
         if dcap:
             zero(dcanv_ref, nzd)
 
+        SLAB = 32  # row band per sprite blend; res/SLAB passes for tall ones
+
         def sprite_pass(n_slots, f_ref, i_ref, canv_ref, nz_pool, count):
             def slot_body(i):
-                live = i_ref[b, i, EI_LIVE]
-                zi = i_ref[b, i, EI_Z]
-                if True:
+                if "sprite_scalar" in _ABLATE:  # debug: measure scalar-read cost
+                    live = jnp.int32(1)
+                    zi = jnp.int32(0)
+                    x0, y0 = f32(5.0), f32(5.0)
+                    w2, h2 = f32(3.0), f32(3.0)
+                else:
+                    live = i_ref[b, i, EI_LIVE]
+                    zi = i_ref[b, i, EI_Z]
                     x0 = f_ref[b, i, EF_X0]
                     y0 = f_ref[b, i, EF_Y0]
                     w2 = f_ref[b, i, EF_W2]
                     h2 = f_ref[b, i, EF_H2]
-                    u = (sx_r - x0) / w2  # [1,res]
-                    v = (sy - y0) / h2  # [res,1]
-                    xvalid = (u >= 0) & (u < 1)
-                    yvalid = (v >= 0) & (v < 1)
+                u = (sx_r - x0) / w2  # [1,res]
+                xvalid = (u >= 0) & (u < 1)
+                ut = u * i_ref[b, i, EI_NTH].astype(f32)
+                u_ = jnp.where(
+                    i_ref[b, i, EI_TILEH] > 0, ut - jnp.floor(ut), u
+                )
+                ui = jnp.clip((u_ * S).astype(i32), 0, S - 1)
+                qidx = jnp.where(
+                    i_ref[b, i, EI_QFLIP] > 0, S - 1 - ui, ui
+                )  # [1,res]
+                Cxt = (
+                    (jax.lax.broadcasted_iota(i32, (S, res), 0) == qidx)
+                    & xvalid
+                ).astype(bf16)
 
-                    ut = u * i_ref[b, i, EI_NTH].astype(f32)
-                    vt = v * i_ref[b, i, EI_NTV].astype(f32)
-                    u_ = jnp.where(
-                        i_ref[b, i, EI_TILEH] > 0, ut - jnp.floor(ut), u
-                    )
-                    v_ = jnp.where(
-                        i_ref[b, i, EI_TILEV] > 0, vt - jnp.floor(vt), v
-                    )
-                    ui = jnp.clip((u_ * S).astype(i32), 0, S - 1)
-                    vi = jnp.clip((v_ * S).astype(i32), 0, S - 1)
-                    pidx = jnp.where(
-                        i_ref[b, i, EI_PFLIP] > 0, S - 1 - vi, vi
-                    )  # [res,1]
-                    qidx = jnp.where(
-                        i_ref[b, i, EI_QFLIP] > 0, S - 1 - ui, ui
-                    )  # [1,res]
-
-                    Ry = (
-                        (pidx == jax.lax.broadcasted_iota(i32, (res, S), 1))
-                        & yvalid
-                    ).astype(bf16)
-                    Cxt = (
-                        (jax.lax.broadcasted_iota(i32, (S, res), 0) == qidx)
-                        & xvalid
-                    ).astype(bf16)
-
-                    cover = (yvalid & xvalid).astype(f32)  # [res,res]
+                if "sprite_scalar" in _ABLATE:
+                    fb = jnp.asarray(False)
+                    row2 = jnp.int32(0)
+                    alpha_e = f32(1.0)
+                    pflip = jnp.asarray(False)
+                    tilev = jnp.asarray(False)
+                    ntv = f32(1.0)
+                else:
                     fb = i_ref[b, i, EI_FB] > 0
                     row2 = i_ref[b, i, EI_ROW]
                     alpha_e = f_ref[b, i, EF_ALPHA]
+                    pflip = i_ref[b, i, EI_PFLIP] > 0
+                    tilev = i_ref[b, i, EI_TILEV] > 0
+                    ntv = i_ref[b, i, EI_NTV].astype(f32)
+                on = (live > 0) & (zi >= 0)
+                zoff = jnp.clip(zi, 0, nz_pool - 1) * 4
 
-                    # alpha channel first
-                    img_a = ent_ref[pl.ds((3 * 2 * n1e + row2) * S, S), :]
-                    samp_a = jnp.dot(
-                        jnp.dot(Ry, img_a, preferred_element_type=f32),
-                        Cxt, preferred_element_type=f32,
-                    )
-                    a = jnp.where(
-                        fb, cover, samp_a * (1.0 / 255.0) * alpha_e * cover
-                    )
-                    # dead / foreign-z slots compose with a=0, which is an
-                    # exact identity through the bf16 round-trip — same
-                    # values the XLA path's masked update produces
-                    a = jnp.where((live > 0) & (zi >= 0), a, 0.0)
+                def do_slab(start):
+                    # rows [start, start+SLAB): blending rows where the
+                    # sprite has a=0 is an exact identity through the bf16
+                    # round-trip, so restricting to a band that contains
+                    # every yvalid row is bit-neutral
+                    sy_s = (
+                        jax.lax.broadcasted_iota(i32, (SLAB, 1), 0) + start
+                    ).astype(f32) + 0.5  # [SLAB,1]
+                    v = (sy_s - y0) / h2
+                    yvalid = (v >= 0) & (v < 1)
+                    vt = v * ntv
+                    v_ = jnp.where(tilev, vt - jnp.floor(vt), v)
+                    vi = jnp.clip((v_ * S).astype(i32), 0, S - 1)
+                    pidx = jnp.where(pflip, S - 1 - vi, vi)  # [SLAB,1]
+                    Ry = (
+                        (pidx == jax.lax.broadcasted_iota(i32, (SLAB, S), 1))
+                        & yvalid
+                    ).astype(bf16)
 
-                    zoff = jnp.clip(zi, 0, nz_pool - 1) * 4
-                    for c in range(3):
-                        img_c = ent_ref[
-                            pl.ds((c * 2 * n1e + row2) * S, S), :
-                        ]
-                        samp_c = jnp.dot(
-                            jnp.dot(Ry, img_c, preferred_element_type=f32),
+                    cover = (yvalid & xvalid).astype(f32)  # [SLAB,res]
+
+                    def samp(ch_base):
+                        if "sprite_matmul" in _ABLATE:  # debug
+                            return cover
+                        img = ent_ref[pl.ds((ch_base * 2 * n1e + row2) * S, S), :]
+                        return jnp.dot(
+                            jnp.dot(Ry, img, preferred_element_type=f32),
                             Cxt, preferred_element_type=f32,
                         )
-                        rgb_c = jnp.where(fb, f_ref[b, i, EF_R + c], samp_c)
-                        old = canv_ref[zoff + c]
-                        canv_ref[zoff + c] = (
+
+                    a = jnp.where(
+                        fb, cover, samp(3) * (1.0 / 255.0) * alpha_e * cover
+                    )
+                    # dead / foreign-z slots compose with a=0 (exact identity)
+                    a = jnp.where(on, a, 0.0)
+
+                    for c in range(3):
+                        rgb_c = jnp.where(
+                            fb, f_ref[b, i, EF_R + c], samp(c)
+                        )
+                        if "sprite_blend" in _ABLATE:  # debug: write-only
+                            canv_ref[zoff + c, pl.ds(start, SLAB), :] = rgb_c
+                            continue
+                        old = canv_ref[zoff + c, pl.ds(start, SLAB), :]
+                        canv_ref[zoff + c, pl.ds(start, SLAB), :] = (
                             (rgb_c * a + old * (1 - a)).astype(bf16)
                         ).astype(f32)
-                    old_a = canv_ref[zoff + 3]
-                    canv_ref[zoff + 3] = (
-                        (a + old_a * (1 - a)).astype(bf16)
-                    ).astype(f32)
+                    if "sprite_blend" not in _ABLATE:
+                        old_a = canv_ref[zoff + 3, pl.ds(start, SLAB), :]
+                        canv_ref[zoff + 3, pl.ds(start, SLAB), :] = (
+                            (a + old_a * (1 - a)).astype(bf16)
+                        ).astype(f32)
+
+                # first yvalid row = ceil(y0 - 0.5); 8-aligned band start
+                r_lo = jnp.clip(jnp.ceil(y0 - 0.5), 0.0, f32(res - 1)).astype(i32)
+                start = jnp.clip(r_lo - r_lo % 8, 0, res - SLAB)
+                start = pl.multiple_of(start, 8)
+                # fits iff span (<= h2+1 rows) + alignment waste (<=7) <= SLAB
+                small = h2 <= f32(SLAB - 8)
+
+                @pl.when(small)
+                def _():
+                    do_slab(start)
+
+                @pl.when(jnp.logical_not(small))
+                def _():
+                    for s0 in range(0, res, SLAB):
+                        do_slab(s0)
 
             if n_slots <= 8:
                 # small pools: static unroll
@@ -645,10 +685,20 @@ def _make_kernel(plan: PallasPlan, B: int):
                     slot_body(i)
             else:
                 # pools are contiguously compacted (Entities.compact), so
-                # looping to the live count skips dead slots entirely
-                jax.lax.fori_loop(
-                    0, count, lambda i, _: (slot_body(i), 0)[1], 0
-                )
+                # looping to the live count skips dead slots entirely;
+                # 2 slots per iteration lets Mosaic overlap independent
+                # slots' scalar loads and matmuls (canvas writes stay
+                # program-ordered within the body)
+                def pair_body(j, _):
+                    slot_body(2 * j)
+
+                    @pl.when(2 * j + 1 < count)
+                    def _():
+                        slot_body(2 * j + 1)
+
+                    return 0
+
+                jax.lax.fori_loop(0, (count + 1) // 2, pair_body, 0)
 
         if "sprite" not in _ABLATE:
             sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
@@ -659,10 +709,7 @@ def _make_kernel(plan: PallasPlan, B: int):
 
         def apply_canvas(obs, canv_ref, zoff):
             a = canv_ref[zoff + 3]
-            return [
-                jnp.round(canv_ref[zoff + c] + obs[c] * (1 - a))
-                for c in range(3)
-            ]
+            return jnp.round(canv_ref[zoff:zoff + 3] + obs * (1 - a)[None])
 
         def paint_z(obs, zlevel):
             if zlevel in plan.z_levels:
@@ -715,10 +762,8 @@ def _make_kernel(plan: PallasPlan, B: int):
                                preferred_element_type=f32).astype(bf16).astype(f32)
 
             alpha = gsamp(3) / 255.0  # division, matching the XLA path
-            obs = [
-                jnp.round(obs[c] * (1 - alpha) + gsamp(c) * alpha)
-                for c in range(3)
-            ]
+            g3 = jnp.stack([gsamp(c) for c in range(3)])
+            obs = jnp.round(obs * (1 - alpha)[None] + g3 * alpha[None])
             covered = gsamp(4) > 127.0
         else:
             covered = jnp.zeros((res, res), bool)
@@ -744,15 +789,14 @@ def _make_kernel(plan: PallasPlan, B: int):
                 jnp.abs(v_frac - 0.5) < inset / 2
             )
             gvalid = cvalid & central & ~covered
-            for c in range(3):
-                obs[c] = jnp.where(gvalid, cellpick(c), obs[c])
+            cell3 = jnp.stack([cellpick(c) for c in range(3)])
+            obs = jnp.where(gvalid[None], cell3, obs)
 
         obs = paint_z(obs, 0)
         obs = paint_z(obs, 1)
 
-        for c in range(3):
-            # Mosaic has no f32->u8 cast; round-trip through int32
-            out_ref[b, c] = obs[c].astype(i32).astype(u8)
+        # Mosaic has no f32->u8 cast; round-trip through int32
+        out_ref[b] = obs.astype(i32).astype(u8)
         return 0
 
     return kernel
@@ -796,6 +840,8 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
             row_block((1, SI_N), pltpu.SMEM),
             row_block((5, plan.GS, plan.GS)),
             row_block((5, NC, NC)),
+            # per-slot sprite params stay in VMEM: SMEM pads every scalar to
+            # 32 bytes, so a [B, cap, 8] window blows the 1 MB SMEM budget
             row_block((cap, EF_N)),
             row_block((cap, EI_N)),
             row_block((dcap_eff, EF_N)),

@@ -17,13 +17,14 @@ from procgen_tpu.core import lifecycle
 from procgen_tpu.core.constants import EASY_MODE, INT32_MAX
 from procgen_tpu.core.options import GameOptions
 from procgen_tpu.games.registry import make_game
-from procgen_tpu.parallel.vec import reset_pending
+from procgen_tpu.parallel.vec import render_batch, reset_pending
 from procgen_tpu.render.renderer import render_obs
 from procgen_tpu.utils.host_mt import HostMT19937
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 GAME = sys.argv[2] if len(sys.argv) > 2 else "maze"
 STEPS = 100
+WARM = int(os.environ.get("PROCGEN_TPU_PROFILE_WARM", "200"))
 
 
 def timeit(name, fn, *args, donate=False, n=STEPS):
@@ -56,6 +57,21 @@ def main():
     rng = np.random.RandomState(0)
     actions = jnp.asarray(rng.randint(0, 15, size=(N,)), jnp.int32)
 
+    # reach steady state (entity/decor pools fill over a rollout — fresh
+    # post-reset states understate render/dispatch cost substantially)
+    @jax.jit
+    def warm_step(states, acts):
+        states, nr = jax.vmap(lambda s, a: lifecycle.env_step(game, s, a))(
+            states, acts
+        )
+        return reset_pending(game, states, nr, max(1, min(N, 64)))
+
+    for _ in range(WARM):
+        states = warm_step(
+            states, jnp.asarray(rng.randint(0, 15, size=(N,)), jnp.int32)
+        )
+    jax.block_until_ready(states.grid)
+
     def logic_only(states, actions):
         states, nr = jax.vmap(lambda s, a: lifecycle.env_step(game, s, a))(
             states, actions
@@ -72,21 +88,21 @@ def main():
         return reset_pending(game, states, pending, max(1, min(N, 64)))
 
     def render_only(states):
-        return jax.vmap(lambda s: render_obs(game, s, 64))(states)
+        return render_batch(game, states, 64)
 
     def full(states, actions):
         states, nr = jax.vmap(lambda s, a: lifecycle.env_step(game, s, a))(
             states, actions
         )
         states = reset_pending(game, states, nr, max(1, min(N, 64)))
-        obs = jax.vmap(lambda s: render_obs(game, s, 64))(states)
+        obs = render_batch(game, states, 64)
         return states, obs
 
-    print(f"game={GAME} N={N}")
+    print(f"game={GAME} N={N}", flush=True)
     timeit("logic (env_step)", logic_only, states, actions)
     timeit("reset_pending (0 pending)", reset_none, states)
     timeit("reset_pending (1 pending)", reset_one, states)
-    timeit("render 64x64", render_only, states)
+    timeit("render 64x64 (product path)", render_only, states)
     timeit("full step", full, states, actions)
 
 
