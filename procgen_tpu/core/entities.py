@@ -239,11 +239,18 @@ class Entities:
         (f32 passes through 1.0*v, ints <= 2^24, bools 0/1).
         """
         keep = keep & self.active
-        perm = jnp.argsort(~keep, stable=True)
         new_count = jnp.sum(keep).astype(i32)
+        # stable-partition permutation straight from prefix sums (argsort is
+        # a multi-ms bitonic sort per env on TPU): kept slots pack to the
+        # front in order, everything else follows in original order
+        newpos = jnp.where(
+            keep,
+            jnp.cumsum(keep.astype(i32)) - 1,
+            new_count + jnp.cumsum((~keep).astype(i32)) - 1,
+        )
         names = [k for k in self.__dataclass_fields__ if k != "count"]
         F = jnp.stack([getattr(self, k).astype(f32) for k in names], axis=-1)
-        P = (perm[:, None] == jnp.arange(self.cap)[None, :]).astype(f32)
+        P = (newpos[None, :] == jnp.arange(self.cap)[:, None]).astype(f32)
         G = P @ F  # [cap, nf]
         upd = {}
         for j, k in enumerate(names):

@@ -17,7 +17,7 @@ This is the TPU-native re-design of the reference's ``Game`` (game.cpp) and
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -516,6 +516,37 @@ class BasicAbstractGame:
         y = jnp.floor(fy).astype(i32)
         return jnp.where(neg, self.out_of_bounds_object, self.get_obj(s, x, y))
 
+    def get_obj_grid22(self, s: BasicState, fxs, fys):
+        """get_obj_from_floats at the 2x2 outer grid of float coords
+        ``fxs``=[...,2] x ``fys``=[...,2] in ONE separable one-hot pick
+        (returns [..., 2(y), 2(x)]).  The sub-step corner probes share two
+        distinct x and two distinct y values, so this replaces 4 full-grid
+        lookups with one 2-row x 2-col sample."""
+        fxs = jnp.asarray(fxs, f32)
+        fys = jnp.asarray(fys, f32)
+        x = jnp.floor(fxs).astype(i32)
+        y = jnp.floor(fys).astype(i32)
+        inb_x = (x >= 0) & (x < s.main_width)
+        inb_y = (y >= 0) & (y < s.main_height)
+        wmax, hmax = self.WORLD_DIM_MAX
+        xc = jnp.clip(x, 0, wmax - 1)
+        yc = jnp.clip(y, 0, hmax - 1)
+        # stage 1: one einsum with the 2 y-values folded into the batch
+        # dims (the fast layout: env rides the vector lanes); stage 2: two
+        # masked elementwise dots (an explicit [2,K]x[K,2] dot lowers to
+        # tiny MXU-padded batched matmuls, measured 100x slower)
+        oh_y = (yc[..., None] == jnp.arange(hmax)).astype(f32)  # [...,2,H]
+        rows = jnp.einsum("...h,hw->...w", oh_y, s.grid.astype(f32))
+        oh_x0 = (xc[..., 0:1] == jnp.arange(wmax)).astype(f32)  # [...,1,W]
+        oh_x1 = (xc[..., 1:2] == jnp.arange(wmax)).astype(f32)
+        v0 = jnp.sum(rows * oh_x0, axis=-1)  # [...,2(y)]
+        v1 = jnp.sum(rows * oh_x1, axis=-1)
+        vals = jnp.stack([v0, v1], axis=-1).astype(i32)  # [...,2(y),2(x)]
+        ok = inb_y[..., :, None] & inb_x[..., None, :]
+        neg = (fys < 0)[..., :, None] | (fxs < 0)[..., None, :]
+        return jnp.where(ok & ~neg, vals, self.out_of_bounds_object)
+
+
     def fill_elem(self, s: BasicState, x, y, dx, dy, elem) -> BasicState:
         """Static-extent rectangle fill (basic-abstract-game.cpp:125-131).
 
@@ -582,11 +613,14 @@ class BasicAbstractGame:
             "will_erase": e.will_erase[slot],
         }
 
-    def _sub_step_rec(self, s, rec, vx, vy, depth: int, is_agent: bool):
+    def _sub_step_rec(self, s, rec, vx, vy, depth: int, is_agent: bool,
+                      probe=None):
         """One axis-aligned micro-move (cpp:278-380).  Returns (s, rec, blocked).
 
         ``depth`` is a Python int — push recursion unrolls at trace time up
-        to PUSH_DEPTH (C++ cap, cpp:263-267).
+        to PUSH_DEPTH (C++ cap, cpp:263-267).  ``probe`` is an optional
+        windowed grid sampler from ``_make_probe`` (falls back to the
+        full-grid 2x2 pick).
         """
         skip = rec["will_erase"]
         nx = rec["x"] + vx
@@ -594,15 +628,15 @@ class BasicAbstractGame:
         margin = f32(0.98)
         horiz = vx != 0
 
-        block = jnp.asarray(False)
-        reflect = jnp.asarray(False)
-        for ci in (0, 1):
-            for cj in (0, 1):
-                px = nx + rec["rx"] * margin * (2 * ci - 1)
-                py = ny + rec["ry"] * margin * (2 * cj - 1)
-                t2 = self.get_obj_from_floats(s, px, py)
-                block |= self.is_blocked(s, rec["type"], t2, horiz)
-                reflect |= self.will_reflect(rec["type"], t2)
+        # corner probes (4 lookups -> one 2x2 separable sample)
+        pxs = jnp.stack([nx - rec["rx"] * margin, nx + rec["rx"] * margin])
+        pys = jnp.stack([ny - rec["ry"] * margin, ny + rec["ry"] * margin])
+        if probe is None:
+            t22 = self.get_obj_grid22(s, pxs, pys)  # [2(y), 2(x)]
+        else:
+            t22 = probe(pxs, pys)
+        block = jnp.any(self.is_blocked(s, rec["type"], t22, horiz))
+        reflect = jnp.any(self.will_reflect(rec["type"], t22))
 
         rx_, ry_ = rec["rx"], rec["ry"]
         dx_ref = jnp.where(
@@ -637,12 +671,13 @@ class BasicAbstractGame:
         if (is_agent and self.ENTITY_SCAN) or (
             not is_agent and self.ENTITY_SCAN_NONAGENT
         ):
-            s, rec, block2 = self._entity_scan(s, rec, vx, vy, depth)
+            s, rec, block2 = self._entity_scan(s, rec, vx, vy, depth,
+                                               probe=probe)
 
         blocked = jnp.where(skip, False, block | block2)
         return s, rec, blocked
 
-    def _entity_scan(self, s, rec, vx, vy, depth: int):
+    def _entity_scan(self, s, rec, vx, vy, depth: int, probe=None):
         """Reverse scan over entities: blocking pushes + reflections
         (cpp:343-379).  Sequential default; games override with vectorised
         equivalents when the interaction structure allows (e.g. coinrun's
@@ -681,7 +716,8 @@ class BasicAbstractGame:
 
             # blocking branch: push chain (cpp:371-373)
             curr_block = coll & blocked_e
-            s, rec = self._push_obj(s, i, rec, vx, vy, depth, do=curr_block)
+            s, rec = self._push_obj(s, i, rec, vx, vy, depth,
+                                    do=curr_block, probe=probe)
             return (s, rec, block2 | curr_block), None
 
         (s, rec, block2), _ = jax.lax.scan(
@@ -689,7 +725,7 @@ class BasicAbstractGame:
         )
         return s, rec, block2
 
-    def _push_obj(self, s, src, rec, vx, vy, depth: int, do):
+    def _push_obj(self, s, src, rec, vx, vy, depth: int, do, probe=None):
         """push_obj(src, target=rec) (cpp:248-276), masked by ``do``:
         displace the mover flush against slot ``src`` via recursive sub_step,
         then zero the pushed axis velocity."""
@@ -706,7 +742,8 @@ class BasicAbstractGame:
         t_vy = jnp.where(horiz, 0.0, e.y[src] + sign(dely) * rsum - rec["y"])
 
         if depth < self.PUSH_DEPTH:
-            s2, rec2, _blk = self._sub_step_rec(s, rec, t_vx, t_vy, depth + 1, True)
+            s2, rec2, _blk = self._sub_step_rec(
+                s, rec, t_vx, t_vy, depth + 1, True, probe=probe)
             s = tree_where(do, s2, s)
             rec = tree_where(do, rec2, rec)
 
@@ -718,6 +755,7 @@ class BasicAbstractGame:
     def _basic_step_rec(self, s, rec, is_agent: bool):
         """basic_step_object on a record (cpp:602-665)."""
         skip = rec["will_erase"]
+        probe = None  # full-grid einsum probes; see get_obj_grid22
 
         if self.grid_step:
             num_sub = jnp.asarray(1, i32)
@@ -752,7 +790,8 @@ class BasicAbstractGame:
             v = jnp.where(horiz_axis, rec["vx"] * pct, rec["vy"] * pct)
             vx_ = jnp.where(horiz_axis, v, 0.0)
             vy_ = jnp.where(horiz_axis, 0.0, v)
-            return self._sub_step_rec(s_, rec, vx_, vy_, 0, is_agent)
+            return self._sub_step_rec(s_, rec, vx_, vy_, 0, is_agent,
+                                      probe=probe)
 
         def sub_math(s, rec, vx_pct, vy_pct, broken, si):
             live = (si < num_sub) & ~broken
@@ -830,12 +869,51 @@ class BasicAbstractGame:
             )
         )
 
+    # Max non-agent smart movers alive at once (None = no bound).  When set,
+    # the vmapped stepper runs over a compacted [MAX_SMART] record batch
+    # instead of all ENT_CAP slots — the sub-step probe work is the hot
+    # per-slot cost, so a pool where only ~1/4 of slots are smart steps ~4x
+    # faster.  MUST upper-bound the game's true simultaneous smart count
+    # (overflowing movers would silently not move); guarded by
+    # tests/test_env.py::test_max_smart_bound rollouts.
+    MAX_SMART: Optional[int] = None
+
     def step_smart_entities_vectorized(self, s: BasicState) -> BasicState:
         """Move all non-agent smart entities in one vmap (SMART_VECTORIZABLE:
         they read only the grid + own record, so the C++ reverse-sequential
         order commutes)."""
         e = s.ents
         slots = jnp.arange(self.ENT_CAP)
+        do = e.active & e.smart_step & (slots != 0) & ~e.will_erase
+
+        M = self.MAX_SMART
+        if M is not None and M < self.ENT_CAP:
+            # compact gather (one-hot matmul; exact for f32 / small ints)
+            pos = jnp.cumsum(do.astype(i32)) - 1
+            C = (
+                (pos[None, :] == jnp.arange(M)[:, None]) & do[None, :]
+            ).astype(f32)  # [M, cap]
+
+            def gf(a):
+                return C @ a.astype(f32)
+
+            rec = {
+                "x": gf(e.x), "y": gf(e.y), "vx": gf(e.vx), "vy": gf(e.vy),
+                "rx": gf(e.rx), "ry": gf(e.ry),
+                "type": gf(e.type).astype(i32),
+                "will_erase": jnp.zeros((M,), bool),
+            }
+
+            def move_rec(r):
+                _, r2 = self._basic_step_rec(s, r, is_agent=False)
+                return r2
+
+            recs = jax.vmap(move_rec)(rec)
+            upd = {}
+            for k in ("x", "y", "vx", "vy"):
+                newv = jnp.einsum("mc,m->c", C, recs[k])
+                upd[k] = jnp.where(do, newv, getattr(e, k))
+            return s.replace(ents=e.replace(**upd))
 
         def move_one(slot):
             rec = self._rec_of(e, slot)
@@ -843,7 +921,6 @@ class BasicAbstractGame:
             return rec2
 
         recs = jax.vmap(move_one)(slots)
-        do = e.active & e.smart_step & (slots != 0) & ~e.will_erase
         upd = {}
         for k in ("x", "y", "vx", "vy"):
             upd[k] = jnp.where(do, recs[k], getattr(e, k))

@@ -267,6 +267,39 @@ def normalize(state: MTState) -> MTState:
     return state.replace(mt=mt, pos=jnp.where(needs, 0, state.pos))
 
 
+_WIN_BS = 16  # window-extraction block size (two-level select below)
+
+
+def _extract_window(mt: jax.Array, twisted: jax.Array, pos, k: int):
+    """``concat(mt, twisted)[pos : pos + k]`` without a traced-index gather.
+
+    A per-env fancy gather of the k-word window is SMEM-serialized on TPU
+    (measured ~9ms at 4096 envs for k=96).  Two-level scheme instead:
+    pick ceil(k/BS)+1 consecutive BS-word blocks starting at block
+    ``pos // BS`` via an exact one-hot matmul (16-bit split accumulation),
+    then resolve the residue ``pos % BS`` with BS static-slice selects.
+    """
+    BS = _WIN_BS
+    cat = jnp.concatenate([mt, twisted])  # [2N]
+    nblk = (2 * N) // BS
+    kb = (k + BS - 1) // BS + 1
+    q = pos // BS
+    r = pos % BS
+    blocks = cat.reshape(nblk, BS)
+    oh = (
+        jnp.arange(nblk)[None, :] == (q + jnp.arange(kb))[:, None]
+    ).astype(jnp.float32)  # [kb, nblk]
+    lo = (blocks & u32(0xFFFF)).astype(jnp.float32)
+    hi = (blocks >> u32(16)).astype(jnp.float32)
+    wlo = jnp.einsum("kn,nb->kb", oh, lo)
+    whi = jnp.einsum("kn,nb->kb", oh, hi)
+    win = (wlo.astype(u32) | (whi.astype(u32) << u32(16))).reshape(kb * BS)
+    out = win[0:k]
+    for t in range(1, BS):
+        out = jnp.where(r == t, win[t : t + k], out)
+    return out
+
+
 def peek_block(state: MTState, k: int, assume_normalized: bool = False) -> Draws:
     """Materialise the next ``k`` tempered outputs without consuming them.
 
@@ -286,13 +319,7 @@ def peek_block(state: MTState, k: int, assume_normalized: bool = False) -> Draws
         pos = jnp.where(at_boundary, 0, state.pos)
     # The twist that the window might cross mid-way.
     twisted = twist(mt)
-    idx = pos + jnp.arange(k, dtype=i32)
-    crossed = idx >= N
-    vals = jnp.where(
-        crossed,
-        twisted[jnp.where(crossed, idx - N, 0)],
-        mt[jnp.where(crossed, 0, idx)],
-    )
+    vals = _extract_window(mt, twisted, pos, k)
     return Draws(block=temper(vals), twisted=twisted, cursor=jnp.asarray(0, i32)), MTState(
         mt=mt, pos=pos, is_seeded=state.is_seeded
     )

@@ -58,6 +58,7 @@ class Climber(BasicAbstractGame):
     MAX_SUB_STEPS = 10  # vy can reach -2 (no max_jump clip when falling)
     ONLY_AGENT_SMART = False  # patrol enemies
     SMART_VECTORIZABLE = True
+    MAX_SMART = 12  # bound on simultaneous smart movers (guarded by tests)
 
     def __init__(self, options):
         super().__init__(options)

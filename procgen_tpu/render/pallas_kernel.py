@@ -139,13 +139,15 @@ class PallasPlan:
             both = np.concatenate(
                 [rows, np.transpose(rows, (0, 2, 1, 3))], axis=0
             )  # [2*n1e, S, S, 4]
-            self.ent_flat = np.transpose(both, (3, 0, 1, 2)).reshape(
-                4 * 2 * self.n1e * self.S, self.S
+            # rows: variant*S + p; cols: channel*S + q — so one dynamic
+            # slice + one [SLAB,S]x[S,4S] matmul samples all 4 channels
+            self.ent_flat = np.transpose(both, (0, 1, 3, 2)).reshape(
+                2 * self.n1e * self.S, 4 * self.S
             ).astype(_np_bf16)
         else:
             self.S = 2
             self.n1e = 1
-            self.ent_flat = np.zeros((4 * 2 * 1 * 2, 2), _np_bf16)
+            self.ent_flat = np.zeros((2 * 1 * 2, 4 * 2), _np_bf16)
 
 
 _PLANS: dict = {}
@@ -631,12 +633,19 @@ def _make_kernel(plan: PallasPlan, B: int):
 
                     cover = (yvalid & xvalid).astype(f32)  # [SLAB,res]
 
+                    # one slice + one wide matmul samples R,G,B,A rows at
+                    # once ([SLAB,S]x[S,4S]); per-element results are
+                    # bit-identical to the per-channel form (one-hot rows
+                    # pick single texels)
+                    if "sprite_matmul" not in _ABLATE:
+                        img4 = ent_ref[pl.ds(row2 * S, S), :]
+                        t1 = jnp.dot(Ry, img4, preferred_element_type=f32)
+
                     def samp(ch_base):
                         if "sprite_matmul" in _ABLATE:  # debug
                             return cover
-                        img = ent_ref[pl.ds((ch_base * 2 * n1e + row2) * S, S), :]
                         return jnp.dot(
-                            jnp.dot(Ry, img, preferred_element_type=f32),
+                            t1[:, ch_base * S:(ch_base + 1) * S].astype(bf16),
                             Cxt, preferred_element_type=f32,
                         )
 

@@ -61,10 +61,11 @@ def bench_config(label, env_name, num, mode, kwargs, steps):
     vec = env._vec
 
     def device_observe():
-        # obs stay on device; only tiny scalars sync
+        # obs stay on device; only tiny scalars sync (observe() returns the
+        # obs rendered inside the fused step program)
         if hasattr(vec, "subs"):
-            return [s._observe_fn(s.states)[0] for s in vec.subs]
-        return vec._observe_fn(vec.states)[0]
+            return [s.observe()[0] for s in vec.subs]
+        return vec.observe()[0]
 
     # warmup / compile
     env.act(actions[0])
