@@ -153,10 +153,12 @@ class Entities:
         Placement is a one-hot matmul, NOT a scatter: XLA-TPU lowers
         batched scatters to serialized SMEM stores (measured ~1.4ms per
         [4096, cap] field — 110ms/step on starpilot).  32-bit exactness is
-        kept by splitting each value into two 16-bit halves so the f32
-        einsums only ever accumulate integers < 2^16 (one nonzero per
-        output column).
+        kept by splitting each value into four 8-bit planes (core/exact.py)
+        so the einsums stay exact even when XLA lowers f32 dots to bf16
+        operands (one nonzero integer <= 255 per output column).
         """
+        from .exact import from_planes, to_planes
+
         do = jnp.asarray(do, bool)
         k = do.shape[0]
         offs = jnp.cumsum(do.astype(i32)) - 1
@@ -169,24 +171,9 @@ class Entities:
         hit = jnp.max(M, axis=0) > 0.5  # [cap]
 
         def place(arr, vals):
-            bits = jax.lax.bitcast_convert_type(
-                vals.astype(arr.dtype), i32
-            ) if arr.dtype == jnp.float32 else vals.astype(i32)
-            ubits = bits.astype(u32)
-            lo = (ubits & u32(0xFFFF)).astype(jnp.float32)
-            hi = (ubits >> u32(16)).astype(jnp.float32)
-            plo = jnp.einsum("kc,k->c", M, lo)
-            phi = jnp.einsum("kc,k->c", M, hi)
-            placed = plo.astype(u32) | (phi.astype(u32) << u32(16))
-            if arr.dtype == jnp.float32:
-                new = jax.lax.bitcast_convert_type(
-                    placed.astype(i32), jnp.float32
-                )
-            elif arr.dtype == jnp.bool_:
-                new = placed > 0
-            else:
-                new = placed.astype(i32).astype(arr.dtype)
-            return jnp.where(hit, new, arr)
+            pl = to_planes(vals.astype(arr.dtype))  # [k, 4]
+            placed = from_planes(jnp.einsum("kc,kp->cp", M, pl), arr.dtype)
+            return jnp.where(hit, placed, arr)
 
         upd = {}
         for name, v in fields.items():
@@ -232,12 +219,15 @@ class Entities:
         """Stable-erase slots where ``keep`` is False (live slots only).
 
         The permutation is applied as ONE one-hot matmul over all fields
-        stacked into a [cap, nf] matrix instead of per-field gathers: under
-        vmap, batched gathers lower to serialized TPU ops (measured 3.6 ms
-        per step at 4096 envs for a cap-2 pool), while the matmul form is a
-        single MXU op.  One-hot x f32 is exact for every field dtype here
-        (f32 passes through 1.0*v, ints <= 2^24, bools 0/1).
+        stacked into a [cap, nf*4] byte-plane matrix instead of per-field
+        gathers: under vmap, batched gathers lower to serialized TPU ops
+        (measured 3.6 ms per step at 4096 envs for a cap-2 pool), while the
+        matmul form is a single MXU op.  The 8-bit plane split
+        (core/exact.py) keeps every field bit-exact even when XLA lowers
+        the f32 dot to bf16 operands.
         """
+        from .exact import stack_planes, unstack_planes
+
         keep = keep & self.active
         new_count = jnp.sum(keep).astype(i32)
         # stable-partition permutation straight from prefix sums (argsort is
@@ -249,15 +239,13 @@ class Entities:
             new_count + jnp.cumsum((~keep).astype(i32)) - 1,
         )
         names = [k for k in self.__dataclass_fields__ if k != "count"]
-        F = jnp.stack([getattr(self, k).astype(f32) for k in names], axis=-1)
+        F = stack_planes([getattr(self, k) for k in names])  # [cap, nf*4]
         P = (newpos[None, :] == jnp.arange(self.cap)[:, None]).astype(f32)
-        G = P @ F  # [cap, nf]
-        upd = {}
-        for j, k in enumerate(names):
-            dt = getattr(self, k).dtype
-            col = G[:, j]
-            upd[k] = (col > 0.5) if dt == jnp.bool_ else col.astype(dt)
-        return self.replace(count=new_count, **upd)
+        G = P @ F  # [cap, nf*4]
+        cols = unstack_planes(G, [getattr(self, k).dtype for k in names])
+        return self.replace(
+            count=new_count, **{k: cols[j] for j, k in enumerate(names)}
+        )
 
 
 def default_fields(x, y, vx, vy, rx, ry, type_) -> dict[str, Any]:

@@ -45,16 +45,18 @@ def onehot_select(si, *arrays):
 
     The obvious ``arr[si]`` is a traced-index gather, which XLA-TPU
     serializes through SMEM (measured ~2.4ms per [4096, cap] lookup under
-    the env vmap); the one-hot einsum is a single MXU/VPU op and exact for
-    f32 (one nonzero term of 1.0*v, rest 0.0*finite).  Static slots take
-    the plain (free) indexed read."""
+    the env vmap); the one-hot einsum is a single MXU/VPU op, kept
+    bit-exact under any XLA matmul precision by the 8-bit plane split
+    (core/exact.py).  Static slots take the plain (free) indexed read."""
+    from .exact import stack_planes, unstack_planes
+
     if isinstance(si, int):
         return tuple(a[si] for a in arrays)
     cap = arrays[0].shape[0]
     oh = (jnp.arange(cap) == si).astype(f32)
-    F = jnp.stack([a.astype(f32) for a in arrays], axis=-1)  # [cap, k]
+    F = stack_planes(arrays)  # [cap, k*4]
     vals = jnp.einsum("c,cf->f", oh, F)
-    return tuple(vals[i].astype(arrays[i].dtype) for i in range(len(arrays)))
+    return unstack_planes(vals, [a.dtype for a in arrays])
 
 
 def tree_where(cond, a, b):
@@ -480,12 +482,16 @@ class BasicAbstractGame:
         inb = (x >= 0) & (x < s.main_width) & (y >= 0) & (y < s.main_height)
         xc = jnp.clip(x, 0, self.WORLD_DIM_MAX[0] - 1)
         yc = jnp.clip(y, 0, self.WORLD_DIM_MAX[1] - 1)
+        from .exact import from_planes16, to_planes16
+
         wmax, hmax = self.WORLD_DIM_MAX
         oh_y = (yc[..., None] == jnp.arange(hmax)).astype(f32)
         oh_x = (xc[..., None] == jnp.arange(wmax)).astype(f32)
-        # exact: grid values are small ints (<< 2^24) picked by one-hots
-        row = jnp.einsum("...h,hw->...w", oh_y, s.grid.astype(f32))
-        val = jnp.einsum("...w,...w->...", row, oh_x).astype(i32)
+        # exact under any matmul precision: grid ids ride as 8-bit planes
+        # (ids like KEY_OBJ=300 exceed bf16's 8-bit integer exactness)
+        gp = to_planes16(s.grid)  # [H, W, 2]
+        row = jnp.einsum("...h,hwp->...wp", oh_y, gp)
+        val = from_planes16(jnp.einsum("...wp,...w->...p", row, oh_x))
         return jnp.where(inb, val, self.out_of_bounds_object)
 
     def get_obj_idx(self, s: BasicState, idx):
@@ -535,13 +541,16 @@ class BasicAbstractGame:
         # dims (the fast layout: env rides the vector lanes); stage 2: two
         # masked elementwise dots (an explicit [2,K]x[K,2] dot lowers to
         # tiny MXU-padded batched matmuls, measured 100x slower)
+        from .exact import from_planes16, to_planes16
+
         oh_y = (yc[..., None] == jnp.arange(hmax)).astype(f32)  # [...,2,H]
-        rows = jnp.einsum("...h,hw->...w", oh_y, s.grid.astype(f32))
+        gp = to_planes16(s.grid)  # [H, W, 2] byte planes (exact; see get_obj)
+        rows = jnp.einsum("...h,hwp->...wp", oh_y, gp)  # [...,2,W,2]
         oh_x0 = (xc[..., 0:1] == jnp.arange(wmax)).astype(f32)  # [...,1,W]
         oh_x1 = (xc[..., 1:2] == jnp.arange(wmax)).astype(f32)
-        v0 = jnp.sum(rows * oh_x0, axis=-1)  # [...,2(y)]
-        v1 = jnp.sum(rows * oh_x1, axis=-1)
-        vals = jnp.stack([v0, v1], axis=-1).astype(i32)  # [...,2(y),2(x)]
+        v0 = from_planes16(jnp.sum(rows * oh_x0[..., None], axis=-2))
+        v1 = from_planes16(jnp.sum(rows * oh_x1[..., None], axis=-2))
+        vals = jnp.stack([v0, v1], axis=-1)  # [...,2(y),2(x)]
         ok = inb_y[..., :, None] & inb_x[..., None, :]
         neg = (fys < 0)[..., :, None] | (fxs < 0)[..., None, :]
         return jnp.where(ok & ~neg, vals, self.out_of_bounds_object)
@@ -613,14 +622,12 @@ class BasicAbstractGame:
             "will_erase": e.will_erase[slot],
         }
 
-    def _sub_step_rec(self, s, rec, vx, vy, depth: int, is_agent: bool,
-                      probe=None):
+    def _sub_step_rec(self, s, rec, vx, vy, depth: int, is_agent: bool):
         """One axis-aligned micro-move (cpp:278-380).  Returns (s, rec, blocked).
 
         ``depth`` is a Python int — push recursion unrolls at trace time up
-        to PUSH_DEPTH (C++ cap, cpp:263-267).  ``probe`` is an optional
-        windowed grid sampler from ``_make_probe`` (falls back to the
-        full-grid 2x2 pick).
+        to PUSH_DEPTH (C++ cap, cpp:263-267).  Corner cells come from the
+        full-grid 2x2 separable sample ``get_obj_grid22``.
         """
         skip = rec["will_erase"]
         nx = rec["x"] + vx
@@ -631,10 +638,7 @@ class BasicAbstractGame:
         # corner probes (4 lookups -> one 2x2 separable sample)
         pxs = jnp.stack([nx - rec["rx"] * margin, nx + rec["rx"] * margin])
         pys = jnp.stack([ny - rec["ry"] * margin, ny + rec["ry"] * margin])
-        if probe is None:
-            t22 = self.get_obj_grid22(s, pxs, pys)  # [2(y), 2(x)]
-        else:
-            t22 = probe(pxs, pys)
+        t22 = self.get_obj_grid22(s, pxs, pys)  # [2(y), 2(x)]
         block = jnp.any(self.is_blocked(s, rec["type"], t22, horiz))
         reflect = jnp.any(self.will_reflect(rec["type"], t22))
 
@@ -671,13 +675,12 @@ class BasicAbstractGame:
         if (is_agent and self.ENTITY_SCAN) or (
             not is_agent and self.ENTITY_SCAN_NONAGENT
         ):
-            s, rec, block2 = self._entity_scan(s, rec, vx, vy, depth,
-                                               probe=probe)
+            s, rec, block2 = self._entity_scan(s, rec, vx, vy, depth)
 
         blocked = jnp.where(skip, False, block | block2)
         return s, rec, blocked
 
-    def _entity_scan(self, s, rec, vx, vy, depth: int, probe=None):
+    def _entity_scan(self, s, rec, vx, vy, depth: int):
         """Reverse scan over entities: blocking pushes + reflections
         (cpp:343-379).  Sequential default; games override with vectorised
         equivalents when the interaction structure allows (e.g. coinrun's
@@ -717,7 +720,7 @@ class BasicAbstractGame:
             # blocking branch: push chain (cpp:371-373)
             curr_block = coll & blocked_e
             s, rec = self._push_obj(s, i, rec, vx, vy, depth,
-                                    do=curr_block, probe=probe)
+                                    do=curr_block)
             return (s, rec, block2 | curr_block), None
 
         (s, rec, block2), _ = jax.lax.scan(
@@ -725,7 +728,7 @@ class BasicAbstractGame:
         )
         return s, rec, block2
 
-    def _push_obj(self, s, src, rec, vx, vy, depth: int, do, probe=None):
+    def _push_obj(self, s, src, rec, vx, vy, depth: int, do):
         """push_obj(src, target=rec) (cpp:248-276), masked by ``do``:
         displace the mover flush against slot ``src`` via recursive sub_step,
         then zero the pushed axis velocity."""
@@ -743,7 +746,7 @@ class BasicAbstractGame:
 
         if depth < self.PUSH_DEPTH:
             s2, rec2, _blk = self._sub_step_rec(
-                s, rec, t_vx, t_vy, depth + 1, True, probe=probe)
+                s, rec, t_vx, t_vy, depth + 1, True)
             s = tree_where(do, s2, s)
             rec = tree_where(do, rec2, rec)
 
@@ -755,7 +758,6 @@ class BasicAbstractGame:
     def _basic_step_rec(self, s, rec, is_agent: bool):
         """basic_step_object on a record (cpp:602-665)."""
         skip = rec["will_erase"]
-        probe = None  # full-grid einsum probes; see get_obj_grid22
 
         if self.grid_step:
             num_sub = jnp.asarray(1, i32)
@@ -790,8 +792,7 @@ class BasicAbstractGame:
             v = jnp.where(horiz_axis, rec["vx"] * pct, rec["vy"] * pct)
             vx_ = jnp.where(horiz_axis, v, 0.0)
             vy_ = jnp.where(horiz_axis, 0.0, v)
-            return self._sub_step_rec(s_, rec, vx_, vy_, 0, is_agent,
-                                      probe=probe)
+            return self._sub_step_rec(s_, rec, vx_, vy_, 0, is_agent)
 
         def sub_math(s, rec, vx_pct, vy_pct, broken, si):
             live = (si < num_sub) & ~broken
@@ -873,46 +874,62 @@ class BasicAbstractGame:
     # the vmapped stepper runs over a compacted [MAX_SMART] record batch
     # instead of all ENT_CAP slots — the sub-step probe work is the hot
     # per-slot cost, so a pool where only ~1/4 of slots are smart steps ~4x
-    # faster.  MUST upper-bound the game's true simultaneous smart count
-    # (overflowing movers would silently not move); guarded by
-    # tests/test_env.py::test_max_smart_bound rollouts.
+    # faster.  MUST upper-bound the game's true simultaneous smart count:
+    # overflow movers (compacted position >= MAX_SMART) freeze in place for
+    # the step (the scatter below masks them out).  Guarded by worst-case
+    # rollouts in tests/test_env.py::test_max_smart_bound and, in
+    # debug_mode, by the runtime check in parallel/vec.py (smart-mover
+    # count is exported via ``count_smart_movers``).
     MAX_SMART: Optional[int] = None
+
+    def count_smart_movers(self, s: BasicState) -> jax.Array:
+        """Live non-agent smart movers this step (the quantity MAX_SMART
+        must bound)."""
+        e = s.ents
+        slots = jnp.arange(self.ENT_CAP)
+        do = e.active & e.smart_step & (slots != 0) & ~e.will_erase
+        return jnp.sum(do.astype(i32))
 
     def step_smart_entities_vectorized(self, s: BasicState) -> BasicState:
         """Move all non-agent smart entities in one vmap (SMART_VECTORIZABLE:
         they read only the grid + own record, so the C++ reverse-sequential
         order commutes)."""
+        from .exact import from_planes, stack_planes, to_planes, unstack_planes
+
         e = s.ents
         slots = jnp.arange(self.ENT_CAP)
         do = e.active & e.smart_step & (slots != 0) & ~e.will_erase
 
         M = self.MAX_SMART
         if M is not None and M < self.ENT_CAP:
-            # compact gather (one-hot matmul; exact for f32 / small ints)
+            # compact gather (one-hot matmul; 8-bit plane split keeps it
+            # bit-exact under any XLA matmul precision, core/exact.py)
             pos = jnp.cumsum(do.astype(i32)) - 1
             C = (
                 (pos[None, :] == jnp.arange(M)[:, None]) & do[None, :]
             ).astype(f32)  # [M, cap]
 
-            def gf(a):
-                return C @ a.astype(f32)
-
-            rec = {
-                "x": gf(e.x), "y": gf(e.y), "vx": gf(e.vx), "vy": gf(e.vy),
-                "rx": gf(e.rx), "ry": gf(e.ry),
-                "type": gf(e.type).astype(i32),
-                "will_erase": jnp.zeros((M,), bool),
-            }
+            fields = ("x", "y", "vx", "vy", "rx", "ry", "type")
+            F = stack_planes([getattr(e, k) for k in fields])  # [cap, 7*4]
+            G = C @ F  # [M, 7*4]
+            vals = unstack_planes(G, [getattr(e, k).dtype for k in fields])
+            rec = dict(zip(fields, vals))
+            rec["will_erase"] = jnp.zeros((M,), bool)
 
             def move_rec(r):
                 _, r2 = self._basic_step_rec(s, r, is_agent=False)
                 return r2
 
             recs = jax.vmap(move_rec)(rec)
+            # scatter back; movers that overflowed the bound (pos >= M have
+            # an all-zero column in C) keep their old fields — frozen, not
+            # teleported to the origin (ADVICE r3)
+            ok = do & (pos < M)
             upd = {}
             for k in ("x", "y", "vx", "vy"):
-                newv = jnp.einsum("mc,m->c", C, recs[k])
-                upd[k] = jnp.where(do, newv, getattr(e, k))
+                newp = jnp.einsum("mc,mp->cp", C, to_planes(recs[k]))
+                newv = from_planes(newp, getattr(e, k).dtype)
+                upd[k] = jnp.where(ok, newv, getattr(e, k))
             return s.replace(ents=e.replace(**upd))
 
         def move_one(slot):

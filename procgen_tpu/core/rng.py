@@ -236,20 +236,19 @@ class Draws:
         """Tempered words at ``cursor + offsets`` (any shape), no advance.
 
         One-hot matmul instead of a gather — XLA-TPU serializes small
-        gathers through SMEM; 32-bit exactness is kept by 16-bit split
-        accumulation (same scheme as ``Entities.push_many``).
+        gathers through SMEM; 32-bit exactness is kept by 8-bit plane
+        split (core/exact.py), which stays exact even when XLA lowers
+        f32 dots to bf16 operands.
         """
+        from .exact import from_planes, to_planes
+
         offs = jnp.asarray(offsets, i32)
         K = self.block.shape[0]
         idx = jnp.clip(self.cursor + offs, 0, K - 1)
         oh = (idx[..., None] == jnp.arange(K)).astype(jnp.float32)
-        lo = (self.block & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        hi = (self.block >> jnp.uint32(16)).astype(jnp.float32)
-        ylo = jnp.einsum("...k,k->...", oh, lo)
-        yhi = jnp.einsum("...k,k->...", oh, hi)
-        return ylo.astype(jnp.uint32) | (
-            yhi.astype(jnp.uint32) << jnp.uint32(16)
-        )
+        pl = to_planes(self.block)  # [K, 4]
+        y = jnp.einsum("...k,kp->...p", oh, pl)
+        return from_planes(y, jnp.uint32)
 
     def advance(self, n) -> "Draws":
         """Consume ``n`` words previously read via ``peek_at``."""
@@ -276,9 +275,12 @@ def _extract_window(mt: jax.Array, twisted: jax.Array, pos, k: int):
     A per-env fancy gather of the k-word window is SMEM-serialized on TPU
     (measured ~9ms at 4096 envs for k=96).  Two-level scheme instead:
     pick ceil(k/BS)+1 consecutive BS-word blocks starting at block
-    ``pos // BS`` via an exact one-hot matmul (16-bit split accumulation),
-    then resolve the residue ``pos % BS`` with BS static-slice selects.
+    ``pos // BS`` via an exact one-hot matmul (8-bit plane split,
+    core/exact.py — exact under any XLA matmul precision), then resolve
+    the residue ``pos % BS`` with BS static-slice selects.
     """
+    from .exact import from_planes, to_planes
+
     BS = _WIN_BS
     cat = jnp.concatenate([mt, twisted])  # [2N]
     nblk = (2 * N) // BS
@@ -289,11 +291,9 @@ def _extract_window(mt: jax.Array, twisted: jax.Array, pos, k: int):
     oh = (
         jnp.arange(nblk)[None, :] == (q + jnp.arange(kb))[:, None]
     ).astype(jnp.float32)  # [kb, nblk]
-    lo = (blocks & u32(0xFFFF)).astype(jnp.float32)
-    hi = (blocks >> u32(16)).astype(jnp.float32)
-    wlo = jnp.einsum("kn,nb->kb", oh, lo)
-    whi = jnp.einsum("kn,nb->kb", oh, hi)
-    win = (wlo.astype(u32) | (whi.astype(u32) << u32(16))).reshape(kb * BS)
+    pl = to_planes(blocks).reshape(nblk, BS * 4)  # [nblk, BS*4]
+    wpl = jnp.einsum("kn,nq->kq", oh, pl).reshape(kb, BS, 4)
+    win = from_planes(wpl, u32).reshape(kb * BS)
     out = win[0:k]
     for t in range(1, BS):
         out = jnp.where(r == t, win[t : t + k], out)

@@ -53,7 +53,7 @@ class Caveflyer(BasicAbstractGame):
     MAX_SUB_STEPS = 8
     ONLY_AGENT_SMART = False  # drifting enemies are smart
     SMART_VECTORIZABLE = True
-    MAX_SMART = 24  # bound on simultaneous smart movers (guarded by tests)
+    MAX_SMART = 24  # bound on simultaneous smart movers; worst-case rollouts: tests/test_env.py::test_max_smart_bound
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
     DECOR_CAP = 32  # exhaust + explosions

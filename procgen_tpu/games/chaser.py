@@ -63,7 +63,7 @@ class Chaser(BasicAbstractGame):
     MAX_SUB_STEPS = 4
     ONLY_AGENT_SMART = False  # enemies are smart
     SMART_VECTORIZABLE = True
-    MAX_SMART = 8  # bound on simultaneous smart movers (guarded by tests)
+    MAX_SMART = 8  # bound on simultaneous smart movers; worst-case rollouts: tests/test_env.py::test_max_smart_bound
 
     def __init__(self, options):
         super().__init__(options)

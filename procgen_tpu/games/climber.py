@@ -58,7 +58,7 @@ class Climber(BasicAbstractGame):
     MAX_SUB_STEPS = 10  # vy can reach -2 (no max_jump clip when falling)
     ONLY_AGENT_SMART = False  # patrol enemies
     SMART_VECTORIZABLE = True
-    MAX_SMART = 12  # bound on simultaneous smart movers (guarded by tests)
+    MAX_SMART = 12  # bound on simultaneous smart movers; worst-case rollouts: tests/test_env.py::test_max_smart_bound
 
     def __init__(self, options):
         super().__init__(options)

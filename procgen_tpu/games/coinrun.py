@@ -79,7 +79,7 @@ class Coinrun(BasicAbstractGame):
     DISPATCH_VECTORIZED = True  # handlers commute (death + goal/lava)
     ONLY_AGENT_SMART = False  # patrol enemies are smart_step
     SMART_VECTORIZABLE = True  # enemies only reflect off grid cells
-    MAX_SMART = 16  # bound on simultaneous smart movers (guarded by tests)
+    MAX_SMART = 16  # bound on simultaneous smart movers; worst-case rollouts: tests/test_env.py::test_max_smart_bound
 
     def __init__(self, options):
         super().__init__(options)
@@ -170,7 +170,7 @@ class Coinrun(BasicAbstractGame):
             _is_wall(target_type) | (target_type == ENEMY_BARRIER)
         )
 
-    def _entity_scan(self, s, rec, vx, vy, depth, probe=None):
+    def _entity_scan(self, s, rec, vx, vy, depth):
         """Vectorised crate landing (coinrun.cpp:187-202).
 
         The only entity-entity interaction is the agent landing on crates
@@ -202,7 +202,7 @@ class Coinrun(BasicAbstractGame):
         t_vy = jnp.where(any_hit, top - rec["y"], 0.0)
         # grid-resolution of the push displacement (push_obj -> sub_step)
         s2, rec2, _ = self._sub_step_rec(s, rec, 0.0, t_vy, self.PUSH_DEPTH,
-                                         False, probe=probe)
+                                         False)
         rec = tree_where(any_hit, rec2, rec)
         rec = dict(rec)
         rec["vy"] = jnp.where(any_hit, 0.0, rec["vy"])

@@ -72,7 +72,7 @@ class Dodgeball(BasicAbstractGame):
     MAX_SUB_STEPS = 5
     ONLY_AGENT_SMART = False
     SMART_VECTORIZABLE = True
-    MAX_SMART = 24  # bound on simultaneous smart movers (guarded by tests)
+    MAX_SMART = 24  # bound on simultaneous smart movers; worst-case rollouts: tests/test_env.py::test_max_smart_bound
     ENTITY_SCAN = False  # agent has no entity blocking
     ENTITY_SCAN_NONAGENT = True  # enemies reflect off lava-wall entities
     ENEMY_FIRE_DELAY = 50
@@ -164,7 +164,7 @@ class Dodgeball(BasicAbstractGame):
             (target_type == LAVA_WALL) | (target_type == self.out_of_bounds_object)
         )
 
-    def _entity_scan(self, s, rec, vx, vy, depth, probe=None):
+    def _entity_scan(self, s, rec, vx, vy, depth):
         """Enemies reflect off lava-wall entities (the only pair relation).
         One vectorised reflection against the highest-slot overlapping wall
         (first processed in the C++ reverse scan); pure in s."""

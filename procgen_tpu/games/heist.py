@@ -123,7 +123,7 @@ class Heist(BasicAbstractGame):
 
     # -- physics ------------------------------------------------------------
 
-    def _entity_scan(self, s, rec, vx, vy, depth, probe=None):
+    def _entity_scan(self, s, rec, vx, vy, depth):
         """Locked doors block the agent (heist.cpp:66-71).  The sequential
         reverse scan converges to the lowest-slot overlapping locked door;
         at most one door can overlap (doors sit in distinct maze cells), so
@@ -162,7 +162,7 @@ class Heist(BasicAbstractGame):
             ~horiz & any_hit, sy + sign(dely) * rsum - rec["y"], 0.0
         )
         s2, rec2, _ = self._sub_step_rec(s, rec, t_vx, t_vy, self.PUSH_DEPTH,
-                                         False, probe=probe)
+                                         False)
         rec = tree_where(any_hit, rec2, rec)
         rec = dict(rec)
         rec["vx"] = jnp.where(any_hit & horiz, 0.0, rec["vx"])

@@ -58,7 +58,7 @@ class Ninja(BasicAbstractGame):
     MAX_SUB_STEPS = 10  # star speed 1 -> 4; agent vy can reach -2
     ONLY_AGENT_SMART = False  # stars are smart
     SMART_VECTORIZABLE = True
-    MAX_SMART = 8  # bound on simultaneous smart movers (guarded by tests)
+    MAX_SMART = 8  # bound on simultaneous smart movers; worst-case rollouts: tests/test_env.py::test_max_smart_bound
     GRID_HANDLER_AGENT_ONLY = False  # stars detonate bombs via grid handler
     DISPATCH_VECTORIZED = True  # exact winner-dedup forms below (the
     # unrolled sequential scan inlined 64 scatter+push handler bodies:

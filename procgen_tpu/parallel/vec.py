@@ -245,6 +245,7 @@ class JaxVecGame:
         self._check_draws = bool(game.options.debug_mode) or (
             os.environ.get("PROCGEN_TPU_CHECK_DRAWS", "0") == "1"
         )
+        self._smart_count_fn = None
 
         @jax.jit
         def init_fn(seeds):
@@ -313,6 +314,7 @@ class JaxVecGame:
         self._step_pool_fn = step_pool_fn
 
         self._cached_obs = None
+        self._cached_for = None
         seeds = jnp.asarray(seeds)
         if self._env_sharding is not None:
             seeds = jax.device_put(seeds, self._env_sharding)
@@ -376,10 +378,12 @@ class JaxVecGame:
                 actions,
             )
             self.states, self._pool, self._pool_valid, self._t = carry
+            self._cached_for = self.states
         else:
             self.states, self._cached_obs = self._step_fn(
                 self.states, actions
             )
+            self._cached_for = self.states
         if self._check_draws:
             # debug-mode guard: an over-budget game_step reads a clamped
             # Draws index and silently corrupts the mt19937 stream
@@ -390,9 +394,29 @@ class JaxVecGame:
                     f"words > MAX_STEP_DRAWS={self.game.MAX_STEP_DRAWS} — "
                     "the RNG stream is corrupt; raise MAX_STEP_DRAWS"
                 )
+            if self.game.MAX_SMART is not None:
+                # debug-mode guard: smart movers beyond the compaction bound
+                # freeze for the step (core/game.py MAX_SMART) — fail loud
+                # instead (the reference's fassert stance, cpp-utils.h:15-22)
+                if self._smart_count_fn is None:
+                    self._smart_count_fn = jax.jit(
+                        lambda st: jnp.max(
+                            jax.vmap(self.game.count_smart_movers)(st)
+                        )
+                    )
+                cnt = int(np.asarray(self._smart_count_fn(self.states)))
+                if cnt > self.game.MAX_SMART:
+                    raise RuntimeError(
+                        f"{self.game.name}: {cnt} simultaneous smart movers "
+                        f"> MAX_SMART={self.game.MAX_SMART} — raise the bound"
+                    )
 
     def observe(self):
-        if self._cached_obs is not None:
+        # The cached observation is valid only for the states object the
+        # last step produced; invalidate by construction (keyed on object
+        # identity) so a direct ``self.states = ...`` assignment can never
+        # serve stale observations.
+        if self._cached_obs is not None and self._cached_for is self.states:
             return self._cached_obs
         obs, rew, first, info = self._observe_fn(self.states)
         return obs, rew, first, info

@@ -258,3 +258,49 @@ def test_episode_recorder(tmp_path):
     assert int(ep0["fps"]) == 15
     ep1 = np.load(tmp_path / "episode_00001.npz")
     assert ep1["frames"].shape == (3, 64, 64, 3)
+
+
+# (game, hardest valid mode) for every game with a MAX_SMART compaction
+# bound (core/game.py).  Modes follow the reference's per-mode validation
+# (game.cpp:76-86): extreme only for chaser/dodgeball/leaper/starpilot,
+# memory only for caveflyer/dodgeball/heist/jumper/maze/miner.  dodgeball
+# memory mode spawns up to 19 enemies (dodgeball.cpp:310,347) — the known
+# worst case among these.
+MAX_SMART_CONFIGS = [
+    ("caveflyer", "memory"),
+    ("chaser", "extreme"),
+    ("climber", "hard"),
+    ("coinrun", "hard"),
+    ("dodgeball", "memory"),
+    ("ninja", "hard"),
+]
+
+
+@pytest.mark.parametrize("env_name,mode", MAX_SMART_CONFIGS)
+def test_max_smart_bound(env_name, mode):
+    """The live smart-mover count never exceeds the game's MAX_SMART
+    compaction bound (movers beyond it would freeze for the step —
+    core/game.py step_smart_entities_vectorized).  Worst-case rollout:
+    hardest distribution mode, with auto-resets churning fresh levels."""
+    import jax
+
+    env = ProcgenGym3Env(
+        num=4, env_name=env_name, rand_seed=11, distribution_mode=mode
+    )
+    vec = env._vec
+    game = vec.game
+    assert game.MAX_SMART is not None
+    count_fn = jax.jit(
+        lambda st: jax.numpy.max(jax.vmap(game.count_smart_movers)(st))
+    )
+    rng = np.random.RandomState(3)
+    worst = int(np.asarray(count_fn(vec.states)))  # post-reset spawn burst
+    for _ in range(120):
+        env.act(rng.randint(0, 15, size=(env.num,)).astype(np.int32))
+        worst = max(worst, int(np.asarray(count_fn(vec.states))))
+    assert worst <= game.MAX_SMART, (
+        f"{env_name}/{mode}: observed {worst} smart movers > "
+        f"MAX_SMART={game.MAX_SMART}"
+    )
+    # the bound should be doing real work (compaction actually engaged)
+    assert worst > 0
