@@ -18,7 +18,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 200))
+NUM_STEPS = int(os.environ.get("BENCH_NUM_STEPS", 300))
+# steady-state warm-in, discarded: the first ~100 steps cover the synchronized
+# first episodes + the reset pool's transient (a fresh-state window measures
+# up to 5x off steady state)
+WARM_STEPS = int(os.environ.get("BENCH_WARM_STEPS", 100))
 GAME = os.environ.get("BENCH_GAME", "maze")
 PROFILE_DIR = os.environ.get("BENCH_PROFILE_DIR", "")  # jax.profiler trace
 BASELINE_STEPS_PER_SEC = 3000.0
@@ -40,23 +44,25 @@ def main():
     jax.block_until_ready(carry[0].grid)
 
     rng = np.random.RandomState(0)
-    actions = jnp.asarray(rng.randint(0, 15, size=(NUM_STEPS, NUM_ENVS)), jnp.int32)
+    total = WARM_STEPS + NUM_STEPS
+    actions = jnp.asarray(rng.randint(0, 15, size=(total, NUM_ENVS)), jnp.int32)
 
-    # warmup / compile
-    carry, obs, rew, done = step_jit(carry, actions[0])
+    # compile + steady-state warm-in (discarded)
+    for t in range(WARM_STEPS):
+        carry, obs, rew, done = step_jit(carry, actions[t])
     jax.block_until_ready(obs)
 
     if PROFILE_DIR:
         jax.profiler.start_trace(PROFILE_DIR)
     t0 = time.perf_counter()
-    for t in range(1, NUM_STEPS):
+    for t in range(WARM_STEPS, total):
         carry, obs, rew, done = step_jit(carry, actions[t])
     jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
     if PROFILE_DIR:
         jax.profiler.stop_trace()
 
-    steps_per_sec = (NUM_STEPS - 1) * NUM_ENVS / dt
+    steps_per_sec = NUM_STEPS * NUM_ENVS / dt
     print(
         json.dumps(
             {

@@ -120,6 +120,11 @@ class BasicState:
     # splitting the pool keeps interactive-entity scans small (TPU-first) at
     # the cost of intra-z-level paint order among decoratives (documented).
     decor: Entities = None
+    # cached static render prefix (bg + grid + colored cells composed at
+    # reset, u8[64,64,3]); only for games with ``static_prefix`` — their
+    # prefix layers are immutable within an episode, so the per-step render
+    # pays only the dynamic z>=0 sprite suffix (render/renderer.py)
+    frame: Any = None
     # procedurally generated per-level background (use_generated_assets /
     # use_procgen_background, cpp:778-782); u8[CAN, CAN, 3] or None
     bg_canvas: Any = None
@@ -161,6 +166,14 @@ class BasicAbstractGame:
     PALLAS_BG: str = "standard"  # background mode of the fused render
     # kernel: "standard" (crop / bg_tile_ratio tiling) or "scroll"
     # (starpilot's time-scrolled tiles)
+    # The game's background/grid/colored-cell layers never change within an
+    # episode as rendered: no mid-episode grid write is ever observed (e.g.
+    # maze clears the cheese cell only on the terminal step, whose state is
+    # replaced by auto-reset before observe).  Combined with a static
+    # camera and no z<0 draws (``static_prefix`` below), the composed
+    # prefix frame is cached in state at reset.  Guarded per game by
+    # tests/test_static_frame.py's frame-vs-full-render rollouts.
+    STATIC_RENDER_PREFIX: bool = False
     ANY_COLLIDES_WITH_ENTITIES: bool = False  # O(E^2) dispatch needed
     DISPATCH_VECTORIZED: bool = False  # all collision handlers commute: use
     # the phased vectorised dispatch (handle_agent_collision_vec + optional
@@ -172,6 +185,19 @@ class BasicAbstractGame:
     SEQUENTIAL_AGENT_HANDLERS: bool = False  # agent-collision handlers must run in
     # reverse entity order (order-sensitive side effects); else vectorised-safe
     # games may still get the sequential scan (default) — this flag reserved.
+
+    @property
+    def static_prefix(self) -> bool:
+        """Cache the bg+grid+cell render prefix per level (see
+        STATIC_RENDER_PREFIX).  Requires a static camera (not
+        center_agent — maze memory mode forces it on) and no z<0 draws."""
+        return (
+            self.STATIC_RENDER_PREFIX
+            and not self.center_agent
+            and self.PALLAS_BG != "scroll"
+            and all(z >= 0 for z in self.ENT_Z_LEVELS)
+            and all(z >= 0 for z in self.DECOR_Z_LEVELS)
+        )
 
     def __init__(self, options: GameOptions):
         self.options = options

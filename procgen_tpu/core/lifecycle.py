@@ -67,6 +67,9 @@ def initial_state(game: BasicAbstractGame, lsrg_seed) -> BasicState:
             if game.uses_procgen_background
             else None
         ),
+        frame=(
+            jnp.zeros((64, 64, 3), jnp.uint8) if game.static_prefix else None
+        ),
         game=game.game_init_state(),
     )
 
@@ -102,6 +105,12 @@ def env_reset(game: BasicAbstractGame, s: BasicState) -> BasicState:
     s = game.game_reset(s)
     # normalize the stream so env_step's peek pays a single twist
     s = s.replace(rand_gen=rng.normalize(s.rand_gen))
+    if game.static_prefix:
+        # compose the per-level static render prefix once (bg + grid +
+        # colored cells); the per-step render pays only the sprite suffix
+        from ..render.renderer import render_obs
+
+        s = s.replace(frame=render_obs(game, s, 64, prefix_only=True))
     return s.replace(
         cur_time=jnp.zeros((), i32),
         total_reward=jnp.zeros((), f32),

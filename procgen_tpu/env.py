@@ -18,6 +18,13 @@ from .games.registry import make_game
 from .parallel.vec import JaxVecGame
 
 
+def _fold_process_seed(rand_seed: int, process_index: int, n: int = 2) -> int:
+    """Decorrelate a random seed across hosts (reference env.py:78-81):
+    snap to a multiple of the process count, then add the process index so
+    every host draws a distinct, deterministic offset."""
+    return rand_seed - (rand_seed % n) + process_index
+
+
 def create_random_seed():
     """env.py:73-82; JAX multi-host decorrelation replaces the MPI fold-in."""
     rand_seed = random.SystemRandom().randint(0, 2**31 - 1)
@@ -26,7 +33,7 @@ def create_random_seed():
 
         n = jax.process_count()
         if n > 1:
-            rand_seed = rand_seed - (rand_seed % n) + jax.process_index()
+            rand_seed = _fold_process_seed(rand_seed, jax.process_index(), n)
     except Exception:
         pass
     return rand_seed

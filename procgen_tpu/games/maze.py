@@ -43,6 +43,11 @@ class Maze(BasicAbstractGame):
     DISPATCH_VECTORIZED = True  # no collision handlers
     MAX_STEP_DRAWS = 8
     MAX_SUB_STEPS = 1  # grid_step
+    # bg + maze walls + cheese are grid layers that never change within an
+    # episode as rendered (the cheese cell is cleared only on the terminal
+    # step, whose state auto-reset replaces before observe) -> the render
+    # prefix is composed once per level (tests/test_static_frame.py)
+    STATIC_RENDER_PREFIX = True
 
     def __init__(self, options):
         super().__init__(options)

@@ -91,6 +91,10 @@ class PallasPlan:
             self.NC = int(game.visibility) + 3
         else:
             self.NC = max(wmax, hmax)
+        # static-prefix games: bg+grid+cells come precomposed in
+        # state.frame (see renderer.render_obs docstring) — the kernel
+        # starts from that base and runs only the sprite suffix
+        self.static = bool(game.static_prefix)
         self.cap = game.ENT_CAP
         self.dcap = game.DECOR_CAP
         self.z_levels = tuple(game.ENT_Z_LEVELS)
@@ -265,6 +269,27 @@ def _prep_one(plan: PallasPlan, s):
     si = si.at[SI_ENT_COUNT].set(s.ents.count)
     if plan.dcap:
         si = si.at[SI_DEC_COUNT].set(s.decor.count)
+
+    if plan.static:
+        # bg/grid/cell layers are precomposed in state.frame; only the
+        # sprite-pool prep below is needed
+        gcanvas = jnp.zeros((5, 1, 1), u8)
+        cell5 = jnp.zeros((5, 1, 1), f32)
+        bgc = jnp.zeros((3, 1, 1), jnp.bfloat16)
+        ent_f, ent_i = _prep_pool(
+            plan, s, s.ents, game.should_draw_entity_mask(s),
+            plan.z_levels, res, unit, vis, x_off, y_off,
+        )
+        if plan.dcap:
+            dec_f, dec_i = _prep_pool(
+                plan, s, s.decor, None, plan.dz_levels, res, unit, vis,
+                x_off, y_off,
+            )
+        else:
+            dec_f = jnp.zeros((1, EF_N), f32)
+            dec_i = jnp.zeros((1, EI_N), i32)
+        base = jnp.transpose(s.frame, (2, 0, 1))  # [3, res, res] u8
+        return sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc, base
 
     # grid cell window (renderer._paint_grid_tiles)
     wmax, hmax = game.WORLD_DIM_MAX
@@ -451,14 +476,15 @@ def _make_kernel(plan: PallasPlan, B: int):
     cap, dcap = plan.cap, plan.dcap
     nz = len(plan.z_levels)
     nzd = len(plan.dz_levels)
+    static = plan.static
     use_bg = ((plan.bg_atlas is not None or plan.procgen_bg)
               and plan.game.options.use_backgrounds
-              and "bg" not in _ABLATE)
+              and "bg" not in _ABLATE and not static)
     bg_tiled = plan.game.bg_tile_ratio < 0
     bg_scroll = plan.game.PALLAS_BG == "scroll"
     bg_procgen = plan.procgen_bg
     has_grid_tex = (plan.grid_atlas is not None and n1g > 0
-                    and "grid" not in _ABLATE)
+                    and "grid" not in _ABLATE and not static)
 
     # pixel-center screen coordinates, as column [res,1] / row [1,res]
     def iota_col(n):
@@ -468,21 +494,26 @@ def _make_kernel(plan: PallasPlan, B: int):
         return jax.lax.broadcasted_iota(i32, (1, n), 1)
 
     def kernel(sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref, enti_ref,
-               decf_ref, deci_ref, bgc_ref, bg_ref, ent_ref,
-               out_ref, ecanv_ref, dcanv_ref):
+               decf_ref, deci_ref, bgc_ref, bg_ref, ent_ref, *rest):
+        if static:
+            base_ref, out_ref, ecanv_ref, dcanv_ref = rest
+        else:
+            base_ref = None
+            out_ref, ecanv_ref, dcanv_ref = rest
+
         # B envs per program: amortizes per-program pipeline overhead
         def render_one(b, _):
             return _render_env(
                 b, sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref,
                 enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
-                ent_ref, out_ref, ecanv_ref, dcanv_ref,
+                ent_ref, base_ref, out_ref, ecanv_ref, dcanv_ref,
             )
 
         jax.lax.fori_loop(0, B, render_one, 0)
 
     def _render_env(b, sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref,
                     enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
-                    ent_ref, out_ref, ecanv_ref, dcanv_ref):
+                    ent_ref, base_ref, out_ref, ecanv_ref, dcanv_ref):
         unit = sf_ref[b, 0, SF_UNIT]
         vis = sf_ref[b, 0, SF_VIS]
         x_off = sf_ref[b, 0, SF_XOFF]
@@ -553,6 +584,9 @@ def _make_kernel(plan: PallasPlan, B: int):
                 t1 = jnp.dot(R, img_c, preferred_element_type=f32)
                 obs.append(jnp.dot(t1, Ct, preferred_element_type=f32))
             obs = jnp.stack(obs)  # [3,res,res]: channel ops fuse downstream
+        elif static:
+            # precomposed static prefix (bg+grid+cells) from state.frame
+            obs = base_ref[b].astype(i32).astype(f32)
         else:
             obs = jnp.zeros((3, res, res), f32)
 
@@ -731,6 +765,13 @@ def _make_kernel(plan: PallasPlan, B: int):
 
         obs = paint_z(obs, -1)
 
+        if static:
+            # grid/cell layers live in the precomposed base frame
+            obs = paint_z(obs, 0)
+            obs = paint_z(obs, 1)
+            out_ref[b] = obs.astype(i32).astype(u8)
+            return 0
+
         # ---- grid pass: separable resample of the prep-built canvas ------
         # (renderer._paint_grid_tiles — bit-identical pick construction)
         top_y = sf_ref[b, 0, SF_TOPY]
@@ -840,26 +881,30 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
             arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
+    in_specs = [
+        row_block((1, SF_N), pltpu.SMEM),
+        row_block((1, SI_N), pltpu.SMEM),
+        row_block((5, 1, 1) if plan.static else (5, plan.GS, plan.GS)),
+        row_block((5, 1, 1) if plan.static else (5, NC, NC)),
+        # per-slot sprite params stay in VMEM: SMEM pads every scalar to
+        # 32 bytes, so a [B, cap, 8] window blows the 1 MB SMEM budget
+        row_block((cap, EF_N)),
+        row_block((cap, EI_N)),
+        row_block((dcap_eff, EF_N)),
+        row_block((dcap_eff, EI_N)),
+        row_block((3,) + ((plan.BH, plan.BW) if plan.procgen_bg
+                          else (1, 1))),
+        const_block(plan.bg_flat),
+        const_block(plan.ent_flat),
+    ]
+    if plan.static:
+        in_specs.append(row_block((3, res, res)))  # precomposed base frame
+
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, 3, res, res), u8),
         grid=(N // B,),
-        in_specs=[
-            row_block((1, SF_N), pltpu.SMEM),
-            row_block((1, SI_N), pltpu.SMEM),
-            row_block((5, plan.GS, plan.GS)),
-            row_block((5, NC, NC)),
-            # per-slot sprite params stay in VMEM: SMEM pads every scalar to
-            # 32 bytes, so a [B, cap, 8] window blows the 1 MB SMEM budget
-            row_block((cap, EF_N)),
-            row_block((cap, EI_N)),
-            row_block((dcap_eff, EF_N)),
-            row_block((dcap_eff, EI_N)),
-            row_block((3,) + ((plan.BH, plan.BW) if plan.procgen_bg
-                              else (1, 1))),
-            const_block(plan.bg_flat),
-            const_block(plan.ent_flat),
-        ],
+        in_specs=in_specs,
         out_specs=row_block((3, res, res)),
         scratch_shapes=[
             pltpu.VMEM((nz * 4, res, res), f32),
@@ -877,15 +922,21 @@ def render_obs_batch(game, states, res: int = RES, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     prep = jax.vmap(lambda s: _prep_one(plan, s))(states)
-    sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc = prep
+    if plan.static:
+        sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc, base = prep
+    else:
+        sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc = prep
     N = sf.shape[0]
     sf = sf.reshape(N, 1, SF_N)
     si = si.reshape(N, 1, SI_N)
     call = _pallas_call(plan, N, interpret)
-    out = call(
+    args = [
         sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc,
         jnp.asarray(plan.bg_flat), jnp.asarray(plan.ent_flat),
-    )
+    ]
+    if plan.static:
+        args.append(base)
+    out = call(*args)
     obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)
 
     # post passes identical to renderer.render_obs: overlays run in XLA

@@ -37,22 +37,42 @@ def to_shade(f):
 def _onehot_sample_grid(grid, celly, cellx, hmax, wmax, oob_val):
     """out[p, q] = grid[celly[p], cellx[q]] via one-hot matmuls (MXU).
 
-    Out-of-range cells read as ``oob_val``.
+    Out-of-range cells read as ``oob_val``.  Object ids ride as 8-bit
+    planes (core/exact.py) so ids above bf16's integer-exact range (e.g.
+    KEY_OBJ+theme = 301) survive XLA's default matmul precision.
     """
+    from ..core.exact import from_planes16, to_planes16
+
     rows = (celly[:, None] == jnp.arange(hmax)[None, :]).astype(f32)  # [res, H]
     cols = (cellx[:, None] == jnp.arange(wmax)[None, :]).astype(f32)  # [res, W]
-    gf = grid.astype(f32)
-    sampled = rows @ gf @ cols.T  # [res, res]
+    gp = to_planes16(grid)  # [H, W, 2]
+    t1 = jnp.einsum("ph,hwk->pwk", rows, gp)  # [res, W, 2]
+    sampled = from_planes16(
+        jnp.einsum("pwk,qw->pqk", t1, cols)
+    )  # [res, res]
     inb = ((celly >= 0) & (celly < hmax))[:, None] & (
         (cellx >= 0) & (cellx < wmax)
     )[None, :]
-    return jnp.where(inb, sampled.astype(i32), oob_val)
+    return jnp.where(inb, sampled, oob_val)
 
 
-def render_obs(game, s, res: int = 64):
-    """Render one env state to [res, res, 3] uint8."""
+def render_obs(game, s, res: int = 64, base=None, prefix_only=False):
+    """Render one env state to [res, res, 3] uint8.
+
+    ``base``: a precomputed static-prefix frame (u8 [res, res, 3]) — skip
+    the background / z<0 / grid-tile / colored-cell passes and composite
+    only the dynamic suffix (z>=0 sprites, velocity squares, overlays) on
+    top.  ``prefix_only``: render and return just that static prefix.
+    Games whose prefix layers are immutable within an episode
+    (``game.static_prefix``) cache the prefix in state at reset
+    (lifecycle.env_reset) so the per-step render pays only the suffix.
+    Splitting is bit-neutral: the prefix obs is integer-valued (one-hot
+    picks of u8 texels + rounded blends), so the u8 round-trip is exact.
+    """
     w = s.main_width.astype(f32)
     h = s.main_height.astype(f32)
+    want_prefix = base is None
+    want_suffix = not prefix_only
 
     # prepare_for_drawing (cpp:828-847)
     if game.center_agent:
@@ -71,32 +91,35 @@ def render_obs(game, s, res: int = 64):
     wxs = (sx + x_off) / unit  # [res] world x per pixel column
     wys = vis - (sy - y_off) / unit  # [res] world y per pixel row
 
-    obs = jnp.zeros((res, res, 3), i32)  # black fill (cpp:989)
-
     from .atlas import get_atlases
 
     grid_atlas, bg_atlas, ent_atlas = get_atlases(game, res)
 
-    # background image (cpp:988-1016) via separable one-hot matmuls
-    if game.options.use_backgrounds:
-        if bg_atlas is not None:
-            custom = game.paint_background(s, res, sx, sy, bg_atlas)
-            if custom is not None:
-                obs = custom
-            else:
-                pix = jnp.asarray(bg_atlas.pixels)
-                bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
-                img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False)
-                bg_ar = jnp.asarray(bg_atlas.aspects)[bi]
+    if base is not None:
+        obs = jnp.asarray(base, i32)
+    else:
+        obs = jnp.zeros((res, res, 3), i32)  # black fill (cpp:989)
+
+        # background image (cpp:988-1016) via separable one-hot matmuls
+        if game.options.use_backgrounds:
+            if bg_atlas is not None:
+                custom = game.paint_background(s, res, sx, sy, bg_atlas)
+                if custom is not None:
+                    obs = custom
+                else:
+                    pix = jnp.asarray(bg_atlas.pixels)
+                    bi = jnp.clip(s.background_index, 0, pix.shape[0] - 1)
+                    img = jax.lax.dynamic_index_in_dim(pix, bi, keepdims=False)
+                    bg_ar = jnp.asarray(bg_atlas.aspects)[bi]
+                    obs = _paint_background(
+                        game, s, obs, sx, sy, res, unit, vis, img, bg_ar
+                    )
+            elif game.uses_procgen_background and s.bg_canvas is not None:
+                # per-level procedural canvas (square, like the reference's
+                # 500x500 QImage: aspect ratio 1)
                 obs = _paint_background(
-                    game, s, obs, sx, sy, res, unit, vis, img, bg_ar
+                    game, s, obs, sx, sy, res, unit, vis, s.bg_canvas, f32(1.0)
                 )
-        elif game.uses_procgen_background and s.bg_canvas is not None:
-            # per-level procedural canvas (square, like the reference's
-            # 500x500 QImage: aspect ratio 1)
-            obs = _paint_background(
-                game, s, obs, sx, sy, res, unit, vis, s.bg_canvas, f32(1.0)
-            )
 
     draw_mask = game.should_draw_entity_mask(s)
 
@@ -146,19 +169,28 @@ def render_obs(game, s, res: int = 64):
     # sprite mode: sample every slot ONCE into per-z premultiplied canvases
     # (over-compositing is associative, so canvas-then-apply equals painting
     # each entity directly in order), then the z passes are cheap applies.
-    # Canvases exist only for the z levels the game statically uses
-    # (ENT_Z_LEVELS / DECOR_Z_LEVELS) — HBM traffic scales with that count.
+    # Canvases exist only for the z levels this render pass needs
+    # (ENT_Z_LEVELS / DECOR_Z_LEVELS restricted to prefix z<0 / suffix
+    # z>=0) — HBM traffic scales with that count.
+    def _wanted(levels):
+        return tuple(
+            z for z in levels
+            if (want_prefix if z < 0 else want_suffix)
+        )
+
+    ent_z = _wanted(game.ENT_Z_LEVELS)
+    dec_z = _wanted(game.DECOR_Z_LEVELS) if game.DECOR_CAP else ()
     if ent_atlas is not None:
         ents_canv = _sprite_canvases(
             game, s, s.ents, draw_mask, ent_atlas, res, unit, vis, x_off,
-            y_off, sx, sy, game.ENT_Z_LEVELS,
-        )
+            y_off, sx, sy, ent_z,
+        ) if ent_z else None
         decor_canv = (
             _sprite_canvases(
                 game, s, s.decor, None, ent_atlas, res, unit, vis, x_off,
-                y_off, sx, sy, game.DECOR_Z_LEVELS,
+                y_off, sx, sy, dec_z,
             )
-            if game.DECOR_CAP
+            if dec_z
             else None
         )
 
@@ -169,62 +201,64 @@ def render_obs(game, s, res: int = 64):
 
     def paint_z(obs, zlevel):
         if ent_atlas is not None:
-            if zlevel in game.ENT_Z_LEVELS:
-                obs = _apply_canvas(
-                    obs, ents_canv[game.ENT_Z_LEVELS.index(zlevel)]
-                )
-            if decor_canv is not None and zlevel in game.DECOR_Z_LEVELS:
-                obs = _apply_canvas(
-                    obs, decor_canv[game.DECOR_Z_LEVELS.index(zlevel)]
-                )
+            if ents_canv is not None and zlevel in ent_z:
+                obs = _apply_canvas(obs, ents_canv[ent_z.index(zlevel)])
+            if decor_canv is not None and zlevel in dec_z:
+                obs = _apply_canvas(obs, decor_canv[dec_z.index(zlevel)])
             return obs
-        if zlevel in game.ENT_Z_LEVELS:
+        if zlevel in ent_z:
             obs = paint_pool(obs, s.ents, zlevel, draw_mask)
-        if game.DECOR_CAP and zlevel in game.DECOR_Z_LEVELS:
+        if zlevel in dec_z:
             obs = paint_pool(obs, s.decor, zlevel, None)
         return obs
 
     # entities below the grid
-    obs = paint_z(obs, -1)
+    if want_prefix:
+        obs = paint_z(obs, -1)
 
-    # grid pass (cpp:950-964)
-    cellx = jnp.floor(wxs).astype(i32)
-    celly = jnp.floor(wys).astype(i32)
-    wmax, hmax = game.WORLD_DIM_MAX
-    raw = _onehot_sample_grid(s.grid, celly, cellx, hmax, wmax, INVALID_OBJ)
-    inb = (
-        ((celly >= 0) & (celly < s.main_height))[:, None]
-        & ((cellx >= 0) & (cellx < s.main_width))[None, :]
-    )
-    if game.center_agent:
-        # C++ draws cells in center ± (vis/2 + 1) incl. out-of-world reads,
-        # which return out_of_bounds_object (cpp:937-948, 180-185)
-        gtype = jnp.where(inb, raw, game.out_of_bounds_object)
-    else:
-        gtype = jnp.where(inb, raw, INVALID_OBJ)
-
-    u = wxs[None, :] - jnp.floor(wxs)[None, :]  # within-cell fraction
-    v = wys[:, None] - jnp.floor(wys)[:, None]
-    u = jnp.broadcast_to(u, (res, res))
-    v = jnp.broadcast_to(v, (res, res))
-
-    textured = jnp.zeros((res, res), bool)
-    if grid_atlas is not None:
-        obs, textured = _paint_grid_tiles(
-            game, s, obs, res, unit, vis, x_off, y_off, wxs, wys, grid_atlas
+    if want_prefix:
+        # grid pass (cpp:950-964)
+        cellx = jnp.floor(wxs).astype(i32)
+        celly = jnp.floor(wys).astype(i32)
+        wmax, hmax = game.WORLD_DIM_MAX
+        raw = _onehot_sample_grid(s.grid, celly, cellx, hmax, wmax, INVALID_OBJ)
+        inb = (
+            ((celly >= 0) & (celly < s.main_height))[:, None]
+            & ((cellx >= 0) & (cellx < s.main_width))[None, :]
         )
+        if game.center_agent:
+            # C++ draws cells in center ± (vis/2 + 1) incl. out-of-world
+            # reads, which return out_of_bounds_object (cpp:937-948, 180-185)
+            gtype = jnp.where(inb, raw, game.out_of_bounds_object)
+        else:
+            gtype = jnp.where(inb, raw, INVALID_OBJ)
 
-    gvalid, r, g_, b = game.grid_cell_colors(s, gtype, u, v)
-    gvalid = gvalid & ~textured  # textured cells already painted
-    gcol = jnp.stack(
-        [
-            jnp.broadcast_to(jnp.asarray(r, i32), (res, res)),
-            jnp.broadcast_to(jnp.asarray(g_, i32), (res, res)),
-            jnp.broadcast_to(jnp.asarray(b, i32), (res, res)),
-        ],
-        axis=-1,
-    )
-    obs = jnp.where(gvalid[:, :, None], gcol, obs)
+        u = wxs[None, :] - jnp.floor(wxs)[None, :]  # within-cell fraction
+        v = wys[:, None] - jnp.floor(wys)[:, None]
+        u = jnp.broadcast_to(u, (res, res))
+        v = jnp.broadcast_to(v, (res, res))
+
+        textured = jnp.zeros((res, res), bool)
+        if grid_atlas is not None:
+            obs, textured = _paint_grid_tiles(
+                game, s, obs, res, unit, vis, x_off, y_off, wxs, wys,
+                grid_atlas
+            )
+
+        gvalid, r, g_, b = game.grid_cell_colors(s, gtype, u, v)
+        gvalid = gvalid & ~textured  # textured cells already painted
+        gcol = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(r, i32), (res, res)),
+                jnp.broadcast_to(jnp.asarray(g_, i32), (res, res)),
+                jnp.broadcast_to(jnp.asarray(b, i32), (res, res)),
+            ],
+            axis=-1,
+        )
+        obs = jnp.where(gvalid[:, :, None], gcol, obs)
+
+    if prefix_only:
+        return obs.astype(u8)
 
     # entities above the grid
     obs = paint_z(obs, 0)

@@ -176,6 +176,36 @@ def test_joint_games():
     np.testing.assert_array_equal(env.observe()[1]["rgb"], obs2["rgb"])
 
 
+def test_joint_info_union_keys():
+    """Joint batches expose the UNION of per-game info keys with fixed
+    padded shapes (the reference's single joint tensortype set,
+    vecgame.cpp:270-330) — maze latents must survive joining with a game
+    that has none, and differing latent shapes are padded, not dropped."""
+    env = ProcgenGym3Env(
+        num=4, env_name="maze,bigfish", rand_seed=3,
+        distribution_mode="easy", use_monochrome_assets=True,
+    )
+    env.act(np.zeros(4, np.int32))
+    info = env.get_info()
+    for i in info:
+        assert "grid" in i and "agent_pos" in i and "grid_size" in i
+    # maze envs (0, 2) have real latents; bigfish envs (1, 3) read zeros
+    assert tuple(info[0]["grid_size"]) != (0, 0)
+    assert tuple(info[1]["grid_size"]) == (0, 0)
+    single = ProcgenGym3Env(
+        num=4, env_name="maze", rand_seed=3, distribution_mode="easy",
+        use_monochrome_assets=True,
+    )
+    single.act(np.zeros(4, np.int32))
+    si = single.get_info()
+    np.testing.assert_array_equal(
+        np.asarray(info[0]["grid"]), np.asarray(si[0]["grid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info[0]["agent_pos"]), np.asarray(si[0]["agent_pos"])
+    )
+
+
 def test_textured_render_smoke():
     """Sprite/tile/background sampling path (non-monochrome) renders and is
     deterministic."""

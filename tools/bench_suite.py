@@ -46,7 +46,14 @@ CONFIGS = (
 )
 
 
-def bench_config(label, env_name, num, mode, kwargs, steps):
+def bench_config(label, env_name, num, mode, kwargs, steps, warmup=100,
+                 windows=3):
+    """Steady-state protocol (VERDICT r3 weak #4: a single fresh-state
+    window is up to 5x nonstationary): discard ``warmup`` steps so every
+    env has desynchronized past its first episode and the reset pool is in
+    its periodic regime, then time ``windows`` consecutive windows of
+    ``steps`` steps each and report the median (plus min/max for the
+    variance the old protocol hid)."""
     from procgen_tpu.env import ProcgenGym3Env
 
     import jax
@@ -56,36 +63,43 @@ def bench_config(label, env_name, num, mode, kwargs, steps):
         **kwargs,
     )
     rng = np.random.RandomState(0)
-    actions = rng.randint(0, 15, size=(steps, num)).astype(np.int32)
+    total = warmup + windows * steps
+    actions = rng.randint(0, 15, size=(total, num)).astype(np.int32)
 
     vec = env._vec
 
     def device_observe():
         # obs stay on device; only tiny scalars sync (observe() returns the
         # obs rendered inside the fused step program)
-        if hasattr(vec, "subs"):
-            return [s.observe()[0] for s in vec.subs]
         return vec.observe()[0]
 
-    # warmup / compile
-    env.act(actions[0])
-    obs = device_observe()
-    jax.block_until_ready(obs)
-
-    t0 = time.perf_counter()
-    for t in range(1, steps):
+    # compile + steady-state warm-in (discarded)
+    for t in range(warmup):
         env.act(actions[t])
-        obs = device_observe()
-    jax.block_until_ready(obs)
-    dt = time.perf_counter() - t0
-    sps = (steps - 1) * num / dt
+    jax.block_until_ready(device_observe())
+
+    rates = []
+    t = warmup
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            env.act(actions[t])
+            t += 1
+        jax.block_until_ready(device_observe())
+        rates.append(steps * num / (time.perf_counter() - t0))
+    med = float(np.median(rates))
     return {
         "config": label,
         "env_name": env_name,
         "num_envs": num,
         "mode": mode,
-        "env_steps_per_sec": round(sps, 1),
-        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),
+        "env_steps_per_sec": round(med, 1),
+        "min_sps": round(min(rates), 1),
+        "max_sps": round(max(rates), 1),
+        "warmup": warmup,
+        "window_steps": steps,
+        "windows": windows,
+        "vs_baseline": round(med / BASELINE_STEPS_PER_SEC, 2),
     }
 
 
@@ -114,19 +128,22 @@ def main():
     with open(args.out, "w") as f:
         f.write(
             "# BENCH — per-game suite on one chip\n\n"
-            f"Hardware: {dev}.  Product path (ProcgenGym3Env), obs on device,\n"
-            f"{args.steps}-step random rollouts.  Baseline: 3,000 env-steps/s\n"
-            "single-core C++ (BASELINE.md).\n\n"
-            "| Config | num_envs | mode | env-steps/s | vs baseline |\n"
-            "|---|---|---|---|---|\n"
+            f"Hardware: {dev}.  Product path (ProcgenGym3Env), obs on device.\n"
+            f"Steady-state protocol: 100-step warm-in discarded, then median\n"
+            f"of 3 windows x {args.steps} steps (min/max reported).  Baseline:\n"
+            "3,000 env-steps/s single-core C++ (BASELINE.md).\n\n"
+            "| Config | num_envs | mode | env-steps/s (median) | min..max | vs baseline |\n"
+            "|---|---|---|---|---|---|\n"
         )
         for r in rows:
             if "error" in r:
-                f.write(f"| {r['config']} | — | — | ERROR: {r['error'][:80]} | — |\n")
+                f.write(f"| {r['config']} | — | — | ERROR: {r['error'][:80]} | — | — |\n")
             else:
                 f.write(
                     f"| {r['config']} | {r['num_envs']} | {r['mode']} | "
-                    f"{r['env_steps_per_sec']:,.0f} | {r['vs_baseline']:.1f}x |\n"
+                    f"{r['env_steps_per_sec']:,.0f} | "
+                    f"{r['min_sps']:,.0f}..{r['max_sps']:,.0f} | "
+                    f"{r['vs_baseline']:.1f}x |\n"
                 )
         f.write("\n```jsonl\n")
         for r in rows:

@@ -56,6 +56,7 @@ def replay(rec: dict, check_latents: bool = True) -> dict:
         num_levels=rec.get("num_levels", 0),
         start_level=rec.get("start_level", 0),
         distribution_mode=rec.get("distribution_mode", "hard"),
+        **rec.get("options", {}),  # option-matrix recordings
     )
     result = {"steps": len(actions), "first_divergence": None, "checked": 0}
 

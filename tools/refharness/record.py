@@ -40,7 +40,33 @@ def record(
     action_seed: int = 0,
     latents: bool = False,
     extra_flags: list[str] | None = None,
+    options: dict | None = None,
 ) -> dict:
+    """``options`` maps ProcgenGym3Env kwarg names (use_sequential_levels,
+    use_generated_assets, restrict_themes, use_monochrome_assets,
+    use_backgrounds, paint_vel_info) to bools; they are forwarded to the
+    oracle as flags and stored in the recording so tools/conformance.py
+    replays with the same configuration."""
+    opt_flags = {
+        "use_sequential_levels": "--use-sequential-levels",
+        "use_generated_assets": "--use-generated-assets",
+        "use_monochrome_assets": "--use-monochrome-assets",
+        "restrict_themes": "--restrict-themes",
+        "paint_vel_info": "--paint-vel-info",
+        "use_backgrounds": None,  # inverted: --no-backgrounds
+        "center_agent": None,
+    }
+    extra_flags = list(extra_flags or [])
+    for k, v in (options or {}).items():
+        assert k in opt_flags, f"unknown option {k}"
+        if k == "use_backgrounds":
+            if not v:
+                extra_flags.append("--no-backgrounds")
+        elif k == "center_agent":
+            if v:
+                extra_flags.append("--center-agent")
+        elif v:
+            extra_flags.append(opt_flags[k])
     cmd = [
         ENGINE,
         "--env-name", env_name,
@@ -79,6 +105,8 @@ def record(
         "prev_level_seeds": [l["prev_level_seeds"] for l in step_lines],
         "prev_level_completes": [l["prev_level_completes"] for l in step_lines],
     }
+    if options:
+        rec["options"] = dict(options)
     if latents:
         rec["init_latents"] = {
             k: init[k]
