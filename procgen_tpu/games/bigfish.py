@@ -37,6 +37,9 @@ class Bigfish(BasicAbstractGame):
     name = "bigfish"
     WORLD_DIM_MAX = (20, 20)
     ENT_CAP = 40  # fish lifetime ~20/vx steps at spawn rate 0.1 ⇒ E[alive]≈15
+    # no grid objects at all; bg is the only prefix layer; the render prefix is composed once per level
+    # (tests/test_static_frame.py guards frame-vs-full equality)
+    STATIC_RENDER_PREFIX = True
     MAX_STEP_DRAWS = 16
     MAX_SUB_STEPS = 6
 

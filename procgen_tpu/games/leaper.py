@@ -62,6 +62,9 @@ class LeaperState:
 class Leaper(BasicAbstractGame):
     name = "leaper"
     ENT_CAP = 80
+    # roads/water lanes are grid rows written only at reset; the render prefix is composed once per level
+    # (tests/test_static_frame.py guards frame-vs-full equality)
+    STATIC_RENDER_PREFIX = True
     DISPATCH_VECTORIZED = True  # handlers commute (car death, finish bonus)
     MAX_STEP_DRAWS = 32  # step_rand_int + 2 draws x 12 lanes worst case
     MAX_SUB_STEPS = 4  # |v| <= 0.5

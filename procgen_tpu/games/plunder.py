@@ -49,6 +49,9 @@ class Plunder(BasicAbstractGame):
     name = "plunder"
     WORLD_DIM_MAX = (20, 20)
     ENT_CAP = 48
+    # no mid-episode grid writes; bg is the only prefix layer; the render prefix is composed once per level
+    # (tests/test_static_frame.py guards frame-vs-full equality)
+    STATIC_RENDER_PREFIX = True
     DECOR_CAP = 24  # explosions
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True

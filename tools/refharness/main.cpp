@@ -68,6 +68,7 @@ struct Args {
     int start_level = 0;
     int distribution_mode = 1; // HardMode
     bool latents = false;
+    bool dump_states = false;
     bool debug_agent = false;
     bool debug_ents = false;
     // game options consumed by Game::parse_options (game.cpp:62-95)
@@ -105,6 +106,8 @@ static Args parse_args(int argc, char **argv) {
             a.distribution_mode = next_int();
         else if (k == "--latents")
             a.latents = true;
+        else if (k == "--dump-states")
+            a.dump_states = true;
         else if (k == "--debug-agent")
             a.debug_agent = true;
         else if (k == "--debug-ents")
@@ -289,6 +292,19 @@ int main(int argc, char **argv) {
         printf("]");
         if (a.latents)
             print_latents(games);
+        if (a.dump_states) {
+            printf(", \"states\": [");
+            static std::vector<char> sbuf(1 << 20);
+            for (int e = 0; e < a.num; e++) {
+                WriteBuffer wb(sbuf.data(), sbuf.size());
+                games[e]->serialize(&wb);
+                printf("%s\"", e ? ", " : "");
+                for (size_t j = 0; j < wb.offset; j++)
+                    printf("%02x", (unsigned char)sbuf[j]);
+                printf("\"");
+            }
+            printf("]");
+        }
         if (a.debug_agent) {
             // agent kinematics + entity census for physics-divergence hunts
             printf(", \"agents\": [");

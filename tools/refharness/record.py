@@ -41,6 +41,7 @@ def record(
     latents: bool = False,
     extra_flags: list[str] | None = None,
     options: dict | None = None,
+    dump_states: bool = False,
 ) -> dict:
     """``options`` maps ProcgenGym3Env kwarg names (use_sequential_levels,
     use_generated_assets, restrict_themes, use_monochrome_assets,
@@ -78,6 +79,8 @@ def record(
     ]
     if latents:
         cmd.append("--latents")
+    if dump_states:
+        cmd.append("--dump-states")
     cmd += extra_flags or []
 
     rng = np.random.RandomState(action_seed)
@@ -107,6 +110,9 @@ def record(
     }
     if options:
         rec["options"] = dict(options)
+    if dump_states:
+        # per-step reference WriteBuffer hex blobs (game.cpp:196-304)
+        rec["states"] = [l["states"] for l in step_lines]
     if latents:
         rec["init_latents"] = {
             k: init[k]
