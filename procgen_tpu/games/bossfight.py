@@ -76,7 +76,8 @@ class Bossfight(BasicAbstractGame):
     name = "bossfight"
     WORLD_DIM_MAX = (20, 20)
     ENT_CAP = 72
-    ARB_ROT_TYPES = (4,)  # enemy bullets spin (vrot = pi/8, bossfight.cpp:262)
+    ARB_ROT_TYPES = {4: 16}  # enemy bullets spin by pi/8 steps
+    # (vrot = pi/8, bossfight.cpp:262): 16 buckets are exact
     DECOR_CAP = 160  # laser trails (one per enemy bullet per step) + booms
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True

@@ -64,7 +64,9 @@ class Dodgeball(BasicAbstractGame):
     # ENEMY (11 themes) is excluded: its bank alone is ~6MB of kernel
     # constants (breaks the Mosaic compile) for 45-degree facing only —
     # enemies keep the quarter-turn snap.
-    ARB_ROT_TYPES = (0, 3, 6)  # PLAYER, PLAYER_BALL, ENEMY_BALL
+    ARB_ROT_TYPES = {0: 8, 3: 8, 4: 32, 6: 8}  # PLAYER/PLAYER_BALL/
+    # ENEMY_BALL face 45-degree directions (8 exact buckets); ENEMY
+    # face_direction is continuous (dodgeball.cpp:362,433) -> 32 buckets
     DECOR_CAP = 16  # dust clouds
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True

@@ -54,7 +54,8 @@ class HeistState:
 class Heist(BasicAbstractGame):
     name = "heist"
     ENT_CAP = 12  # agent + <=3 keys + <=3 doors + exit + <=3 ring keys
-    ARB_ROT_TYPES = (0,)  # agent faces diagonals (heist.cpp:208)
+    ARB_ROT_TYPES = {0: 8}  # agent faces diagonals (heist.cpp:208):
+    # 45-degree facings land exactly on the 8 bucket centers
     MAX_STEP_DRAWS = 4
     MAX_SUB_STEPS = 6  # maxspeed .75 -> 4*|v| <= 4.2
     ENTITY_SCAN = True  # locked doors block (vectorised override below)

@@ -54,14 +54,25 @@ def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
-def _rotate_tile(pix: np.ndarray, theta: float) -> np.ndarray:
+# Rotated bank tiles cover a sqrt(2)-enlarged footprint so the rotated
+# sprite's corners survive (QPainter's rotated draw overhangs the
+# axis-aligned rect by up to sqrt(2); the old inscribed tiles clipped
+# them).  Renderers enlarge the screen rect of banked draws by the same
+# factor, keeping the on-screen sprite size exact.
+ROT_OVERHANG = float(np.sqrt(2.0))
+
+
+def _rotate_tile(pix: np.ndarray, theta: float,
+                 footprint: float = ROT_OVERHANG) -> np.ndarray:
     """Nearest-neighbor texture-space rotation by ``theta`` (clockwise in
     screen coords, matching Qt rotate); out-of-source texels transparent.
-    theta = pi/2 reproduces the quarter-turn index remap exactly."""
+    The output tile's [0,1) span covers ``footprint`` x the source rect,
+    centered — at sqrt(2) the rotated square always fits (no corner
+    clipping) for any angle."""
     S = pix.shape[0]
     ii, jj = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
-    a = (jj + 0.5) / S - 0.5  # right+
-    b = (ii + 0.5) / S - 0.5  # down+
+    a = ((jj + 0.5) / S - 0.5) * footprint  # right+
+    b = ((ii + 0.5) / S - 0.5) * footprint  # down+
     c, s_ = np.cos(theta), np.sin(theta)
     p = a * c + b * s_
     q = -a * s_ + b * c
@@ -120,45 +131,57 @@ class GridAtlas:
 
         # --- arbitrary-rotation bank (QPainter rotates sprites by real
         # angles, qpainter.h:63-144; caveflyer ship etc.).  For image types
-        # the game declares in ARB_ROT_TYPES, bake ROT_BANK_K rotated
-        # variants (x2 for reflection, mirrored BEFORE rotating) so both
-        # renderers sample identically and stay separable.  Texture-space
-        # rotation inscribed in the entity rect (corners clip vs QPainter's
-        # overhang) — documented approximation, PARITY.md. -----------------
-        self.rot_k = int(getattr(game, "ROT_BANK_K", 16))
-        arb_types = set(getattr(game, "ARB_ROT_TYPES", ()) or ())
+        # the game declares in ARB_ROT_TYPES, bake per-type angle buckets
+        # (x2 for reflection, mirrored BEFORE rotating) so both renderers
+        # sample identically and stay separable.  ARB_ROT_TYPES may be a
+        # tuple (every type gets ROT_BANK_K buckets) or a dict
+        # {type: buckets} — games whose rotations are a known finite set
+        # (45-degree facings, pi/8 spins) get EXACT bucket centers with a
+        # small bank, while continuous rotations (caveflyer ship, dodgeball
+        # enemies) get fine quantization.  Tiles cover a sqrt(2) footprint
+        # (ROT_OVERHANG) so rotated corners survive; renderers enlarge
+        # banked screen rects by the same factor. --------------------------
+        default_k = int(getattr(game, "ROT_BANK_K", 32))
+        arb_decl = getattr(game, "ARB_ROT_TYPES", ()) or ()
+        if isinstance(arb_decl, dict):
+            arb_k = {int(t): int(k) for t, k in arb_decl.items()}
+        else:
+            arb_k = {int(t): default_k for t in arb_decl}
         bank_start = np.full((n + 1,), -1, np.int64)
+        bank_k = np.full((n + 1,), 0, np.int64)
         bank_rows = []
-        if arb_types:
-            k = self.rot_k
-            for i, ((t, th), (_, _, pix)) in enumerate(
-                zip(self.entries, entries)
-            ):
-                if t not in arb_types:
-                    continue
-                bank_start[i] = n + 1 + len(bank_rows)
-                for refl in (False, True):
-                    src = pix[:, ::-1] if refl else pix
-                    for b in range(k):
-                        bank_rows.append(
-                            _rotate_tile(src, 2.0 * np.pi * b / k)
-                        )
+        for i, ((t, th), (_, _, pix)) in enumerate(
+            zip(self.entries, entries)
+        ):
+            if t not in arb_k:
+                continue
+            k = arb_k[t]
+            bank_start[i] = n + 1 + len(bank_rows)
+            bank_k[i] = k
+            for refl in (False, True):
+                src = pix[:, ::-1] if refl else pix
+                for b in range(k):
+                    bank_rows.append(_rotate_tile(src, 2.0 * np.pi * b / k))
         if bank_rows:
             rows = np.concatenate([rows, np.stack(bank_rows)], axis=0)
         self.rows = rows  # [n+1+bank, s, s, 4]
         self.bank_start = bank_start  # base row -> first bank row (or -1)
+        self.bank_k = bank_k  # base row -> angle buckets
 
-    def bank_row_for(self, base_row, refl, bucket):
-        """Bank row for (base sprite row, reflection, angle bucket); the
-        base row itself when the type has no bank.  Static where-chain."""
+    def bank_row_for(self, base_row, refl, rot):
+        """Bank row for (base sprite row, reflection, rotation angle); the
+        base row itself when the type has no bank.  Static where-chain;
+        the angle->bucket quantization uses each entry's own bucket count."""
         import jax.numpy as jnp
 
-        k = self.rot_k
         out = jnp.asarray(base_row)
         has = jnp.zeros(jnp.shape(base_row), bool)
+        two_pi = 2.0 * np.pi
         for i, start in enumerate(self.bank_start):
             if start < 0:
                 continue
+            k = int(self.bank_k[i])
+            bucket = jnp.round(rot * (k / two_pi)).astype(jnp.int32) % k
             sel = base_row == i
             out = jnp.where(
                 sel,

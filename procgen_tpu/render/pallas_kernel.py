@@ -415,17 +415,23 @@ def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
     refl = e.is_reflected
     if plan.ent_atlas is not None:
         arb = jnp.abs(qf - jnp.round(qf)) > 1e-4
-        k = plan.ent_atlas.rot_k
-        bucket = jnp.round(
-            e.rotation * (k / (2.0 * jnp.pi))
-        ).astype(i32) % k
         brow, has_bank = plan.ent_atlas.bank_row_for(
-            row_all, refl.astype(i32), bucket
+            row_all, refl.astype(i32), e.rotation
         )
         use_bank = arb & has_bank
     else:
         use_bank = jnp.zeros(jnp.shape(q), bool)
         brow = row_all
+
+    # banked draws enlarge the rect by the bank tile's sqrt(2) footprint
+    # (atlas.ROT_OVERHANG) — identical math to renderer._sprite_canvases
+    from .atlas import ROT_OVERHANG
+
+    grow = jnp.where(use_bank, f32(ROT_OVERHANG), f32(1.0))
+    x0 = x0 - w2 * (grow - 1.0) * 0.5
+    y0 = y0 - h2 * (grow - 1.0) * 0.5
+    w2 = jnp.maximum(w2 * grow, 1e-6)
+    h2 = jnp.maximum(h2 * grow, 1e-6)
     use_t = ((q == 1) | (q == 3)) & ~use_bank
     rowflip = ((q == 2) | (q == 3)) & ~use_bank
     colflip = ((q == 1) | (q == 2)) & ~use_bank

@@ -347,8 +347,9 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
     over-composited into the premultiplied canvas of its render_z.  Returns
     [len(z_levels), res, res, 4] canvases, one per z in ``z_levels`` (the
     game's static set — agent is always z=1, so most games use (0, 1)).
-    Arbitrary rotations (caveflyer's ship) snap to the nearest quarter turn
-    this round — the reference renders them smoothly (draw_image,
+    Arbitrary rotations (caveflyer's ship, dodgeball enemies) sample a
+    pre-rotated bank (ROT_BANK_K buckets, sqrt(2) overhang footprint —
+    atlas.py) approximating QPainter's smooth rotation (draw_image,
     cpp:908-916).
 
     Canvases are bf16: every sampled texel is an exact integer <= 255
@@ -360,6 +361,8 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
     ignoring entity alpha as QPainter opacity is only set on the sprite
     branch (cpp:903-906).
     """
+    from .atlas import ROT_OVERHANG
+
     bf16 = jnp.bfloat16
     e = pool
     cap = e.cap
@@ -407,9 +410,24 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
     zsel = jnp.asarray(z_levels, i32)  # canvas index -> render_z value
 
     def body(i, canv):
-        x0, y0 = x0_all[i], y0_all[i]
-        w2 = jnp.maximum(w2_all[i], 1e-6)
-        h2 = jnp.maximum(h2_all[i], 1e-6)
+        # rotation-bank decision first: banked draws enlarge the screen
+        # rect by ROT_OVERHANG to match the bank tile's sqrt(2) footprint
+        # (QPainter's rotated draw overhangs the axis-aligned rect)
+        rot = e.rotation[i]
+        qf = rot * (2.0 / jnp.pi)
+        q = jnp.round(qf).astype(i32) % 4
+        arb = jnp.abs(qf - jnp.round(qf)) > 1e-4
+        brow, has_bank = atlas.bank_row_for(
+            row_all[i], e.is_reflected[i].astype(i32), rot
+        )
+        use_bank = arb & has_bank
+        grow = jnp.where(use_bank, f32(ROT_OVERHANG), f32(1.0))
+
+        w2_r, h2_r = w2_all[i], h2_all[i]
+        x0 = x0_all[i] - w2_r * (grow - 1.0) * 0.5
+        y0 = y0_all[i] - h2_r * (grow - 1.0) * 0.5
+        w2 = jnp.maximum(w2_r * grow, 1e-6)
+        h2 = jnp.maximum(h2_r * grow, 1e-6)
 
         u = (sx - x0) / w2  # [res] along screen x
         v = (sy - y0) / h2  # [res] along screen y
@@ -434,17 +452,7 @@ def _sprite_canvases(game, s, pool, mask, atlas, res, unit, vis, x_off,
         # draw_image cpp:908-916); q = nearest quarter.  Non-quarter angles
         # sample the pre-rotated bank row instead (reflection baked in),
         # quantized to ROT_BANK_K buckets — atlas.py bank docstring.
-        rot = e.rotation[i]
-        qf = rot * (2.0 / jnp.pi)
-        q = jnp.round(qf).astype(i32) % 4
-        arb = jnp.abs(qf - jnp.round(qf)) > 1e-4
-        k = atlas.rot_k
-        bucket = jnp.round(rot * (k / (2.0 * jnp.pi))).astype(i32) % k
-        brow, has_bank = atlas.bank_row_for(
-            row_all[i], e.is_reflected[i].astype(i32), bucket
-        )
-        use_bank = arb & has_bank
-
+        # (rot/q/bucket/use_bank hoisted above for the rect enlargement)
         use_t = ((q == 1) | (q == 3)) & ~use_bank
         rowflip = ((q == 2) | (q == 3)) & ~use_bank
         colflip = ((q == 1) | (q == 2)) & ~use_bank

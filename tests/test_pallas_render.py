@@ -120,3 +120,35 @@ def test_pallas_arbitrary_rotation_caveflyer():
                                                   interpret=True)
     )(states)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_pallas_arbitrary_rotation_dodgeball():
+    """Dodgeball enemies face_direction by arbitrary angles
+    (dodgeball.cpp:362,433) — banked since r4 (previously quarter-snapped).
+    Both renderers must stay bit-equal with a live enemy rotated off the
+    quarter grid."""
+    game = make_game("dodgeball", GameOptions(distribution_mode=EASY_MODE))
+    game.level_seed_low, game.level_seed_high = 0, INT32_MAX
+    assert pallas_kernel.supports(game)
+    states = _mk_states(game, 4)
+
+    step = jax.jit(
+        jax.vmap(lambda s, a: lifecycle.env_step(game, s, a)[0])
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(30):
+        states = step(
+            states, jnp.asarray(rng.randint(0, 15, size=(4,)), jnp.int32)
+        )
+    # some live non-agent entity must carry a non-quarter rotation
+    rot = np.asarray(states.ents.rotation)
+    frac = np.abs(rot * 2 / np.pi - np.round(rot * 2 / np.pi))
+    live = np.arange(rot.shape[1])[None, :] < np.asarray(states.ents.count)[:, None]
+    assert (frac[live] > 1e-3).any(), "no arbitrary rotation exercised"
+
+    ref = jax.jit(jax.vmap(lambda s: render_obs(game, s, 64)))(states)
+    out = jax.jit(
+        lambda st: pallas_kernel.render_obs_batch(game, st, 64,
+                                                  interpret=True)
+    )(states)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
