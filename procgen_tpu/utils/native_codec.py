@@ -12,11 +12,13 @@ import subprocess
 
 import numpy as np
 
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# dev checkout: built in-tree under native/; installed wheel: prebuilt
+# copy shipped as package data (setup.py BuildPyWithNative)
 _LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "libstatecodec.so",
+    os.path.dirname(_PKG_DIR), "native", "libstatecodec.so"
 )
+_WHEEL_LIB_PATH = os.path.join(_PKG_DIR, "data", "libstatecodec.so")
 
 _lib = None
 
@@ -33,7 +35,9 @@ def _load():
                 subprocess.run(["make", "-C", src_dir], check=True,
                                capture_output=True)
             except Exception:
-                return None
+                pass
+    if not os.path.exists(path) and os.path.exists(_WHEEL_LIB_PATH):
+        path = _WHEEL_LIB_PATH  # installed wheel: prebuilt package data
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
