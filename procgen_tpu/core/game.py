@@ -908,6 +908,25 @@ class BasicAbstractGame:
     # count is exported via ``count_smart_movers``).
     MAX_SMART: Optional[int] = None
 
+    def spawn_blocked(self, s: BasicState, x, y, rx, ry, margin=0.0):
+        """has_any_collision for a spawn candidate (cpp:1123-1133), over
+        BOTH pools: C++ keeps explosions/trails in the same entity vector
+        and they do NOT set avoids_collisions, so decoratives block spawns
+        too (the plunder_volley adversarial recording caught an explosion
+        failing to suppress the next lane ship)."""
+        def pool_hit(e):
+            return jnp.any(
+                (jnp.abs(jnp.asarray(x, f32) - e.x) < rx + e.rx + margin)
+                & (jnp.abs(jnp.asarray(y, f32) - e.y) < ry + e.ry + margin)
+                & e.active
+                & ~e.avoids_collisions
+            )
+
+        hit = pool_hit(s.ents)
+        if self.DECOR_CAP:
+            hit = hit | pool_hit(s.decor)
+        return hit
+
     def count_smart_movers(self, s: BasicState) -> jax.Array:
         """Live non-agent smart movers this step (the quantity MAX_SMART
         must bound)."""

@@ -438,12 +438,9 @@ class Bossfight(BasicAbstractGame):
             f["image_theme"] = th0
             f["health"] = 3.0
             f["collides_with_entities"] = True
-            hit = jnp.any(
-                (jnp.abs(ent_x - e.x) < barrier_r + e.rx)
-                & (jnp.abs(ent_y - e.y) < barrier_r / ar + e.ry)
-                & e.active
-                & ~e.avoids_collisions
-            )
+            # has_any_collision over BOTH pools — trails/booms block barrier
+            # spawns (bossfight.cpp:342; see spawn_blocked)
+            hit = self.spawn_blocked(s, ent_x, ent_y, barrier_r, barrier_r / ar)
             s = s.replace(ents=s.ents.push(f, do=do & ~hit))
         return s.replace(rand_gen=g)
 

@@ -120,29 +120,54 @@ class Plunder(BasicAbstractGame):
         return s, d  # no agent collision effects in plunder
 
     def dispatch_entity_pairs(self, s, d):
-        """Bullet vs ship/panel (plunder.cpp:89-110), vectorised; each ship
-        is credited once (C++ will_erase guard)."""
+        """Bullet vs ship/panel (plunder.cpp:89-110) with the C++ dispatch
+        loop's EXACT sequential semantics (basic-abstract-game.cpp:728-746):
+        entities act in reverse slot order and the ``!will_erase`` guards
+        are evaluated LIVE, so a bullet kills only the highest-slot live
+        ship/panel it overlaps and a ship dies to only the first bullet
+        that reaches it.  The joint-overlap shortcut this replaces
+        double-credited one-bullet-two-ships volleys — caught by the
+        adversarial recording tests/data/conformance_opts/plunder_volley.json
+        at step 42."""
         e = s.ents
-        is_bullet = e.active & (e.type == PLAYER_BULLET) & ~e.will_erase
-        is_ship = e.active & (e.type == SHIP) & ~e.will_erase
-        is_panel = e.active & (e.type == PANEL) & ~e.will_erase
+        cap = self.ENT_CAP
+        slots = jnp.arange(cap)
+        is_ship = e.active & (e.type == SHIP)
+        is_panel = e.active & (e.type == PANEL)
+        is_bullet = e.active & (e.type == PLAYER_BULLET)
+        theme = jnp.clip(e.image_theme, 0, 5)
+        is_target = s.game.target_bools[theme]
+
         dx = jnp.abs(e.x[:, None] - e.x[None, :])
         dy = jnp.abs(e.y[:, None] - e.y[None, :])
         overlap = (
             dx < e.rx[:, None] + e.rx[None, :] + e.collision_margin[:, None]
         ) & (dy < e.ry[:, None] + e.ry[None, :] + e.collision_margin[:, None])
-        pair_ship = overlap & is_bullet[:, None] & is_ship[None, :]
-        pair_panel = overlap & is_bullet[:, None] & is_panel[None, :]
 
-        ship_hit = jnp.any(pair_ship, axis=0)
-        bullet_hit = jnp.any(pair_ship | pair_panel, axis=1)
+        def body(carry, k):
+            we, n_t, n_f = carry
+            i = cap - 1 - k  # outer loop: reverse slot order (cpp:728)
+            onehot_i = slots == i
+            acts = jnp.any(onehot_i & is_bullet & ~we)
+            qual = overlap[i] & (is_ship | is_panel) & ~we & ~onehot_i & acts
+            anyq = jnp.any(qual)
+            # inner loop descending: the first qualifying j is the highest
+            jstar_h = (cap - 1 - jnp.argmax(qual[::-1])) == slots
+            jh = jstar_h & anyq
+            ship_kill = jnp.any(jh & is_ship)
+            tgt_kill = jnp.any(jh & is_ship & is_target)
+            we = we | (jh & is_ship)  # ship erased; panels survive
+            we = we | (onehot_i & anyq)  # bullet erased on ship OR panel
+            n_t = n_t + tgt_kill.astype(f32)
+            n_f = n_f + (ship_kill & ~tgt_kill).astype(f32)
+            return (we, n_t, n_f), jh & is_ship
 
-        theme = jnp.clip(e.image_theme, 0, 5)
-        is_target = s.game.target_bools[theme]
-        target_kills = ship_hit & is_target
-        friendly_kills = ship_hit & ~is_target
-        n_t = jnp.sum(target_kills).astype(f32)
-        n_f = jnp.sum(friendly_kills).astype(f32)
+        (we, n_t, n_f), boom_rows = jax.lax.scan(
+            body,
+            (e.will_erase, f32(0.0), f32(0.0)),
+            jnp.arange(cap),
+        )
+        ship_hit = jnp.any(boom_rows, axis=0)  # ships killed this dispatch
 
         s = s.replace(
             reward=s.reward + n_t * POSITIVE_REWARD,
@@ -150,7 +175,7 @@ class Plunder(BasicAbstractGame):
                 targets_hit=s.game.targets_hit + n_t.astype(i32),
                 juice_left=s.game.juice_left + 0.1 * n_t - 0.1 * n_f,
             ),
-            ents=e.replace(will_erase=e.will_erase | ship_hit | bullet_hit),
+            ents=e.replace(will_erase=we),
         )
 
         def push_boom(i, decor):
@@ -330,13 +355,9 @@ class Plunder(BasicAbstractGame):
         )
         f["image_theme"] = theme
         f["is_reflected"] = ~moves_right
-        e = s.ents
-        hit_existing = jnp.any(
-            (jnp.abs(f["x"] - e.x) < ent_r + e.rx)
-            & (jnp.abs(ent_y - e.y) < f["ry"] + e.ry)
-            & e.active
-            & ~e.avoids_collisions
-        )
+        # has_any_collision over BOTH pools — explosions block ship spawns
+        # (plunder.cpp:212; see spawn_blocked)
+        hit_existing = self.spawn_blocked(s, f["x"], ent_y, ent_r, f["ry"])
         s = s.replace(ents=s.ents.push(f, do=spawn & ~hit_existing))
 
         # fire (plunder.cpp:218-224)
