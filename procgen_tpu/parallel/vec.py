@@ -133,6 +133,11 @@ _KEEP_LIVE_ON_RESET = (
     "action_vx",
     "action_vy",
     "action_vrot",
+    # set at the top of every game_step and never read before then being
+    # overwritten — but it IS serialized, and C++ reset leaves the finishing
+    # step's draw in place, so the splice must too (the 10k torture caught
+    # the pool entry's stale value leaking into checkpoints)
+    "step_rand_int",
 )
 
 
