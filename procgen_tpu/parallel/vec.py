@@ -565,13 +565,20 @@ class JointJaxVecGame:
         out = np.stack(arrs, axis=1)  # [num//k, k, ...]
         return out.reshape((self.num,) + arrs[0].shape[1:])
 
+    # Sub-games fused per jitted program.  One program for the whole batch
+    # kills per-game dispatch overhead, but XLA compile time grows
+    # super-linearly in program count (a single 16-game program measured
+    # >1h to compile); chunks of 4 keep compiles tractable while cutting
+    # 16 dispatches/step to 4 + one merge.
+    FUSE_CHUNK = int(os.environ.get("PROCGEN_TPU_JOINT_FUSE", "4"))
+
     def _build_joint_step(self):
-        """ONE jitted program stepping every sub-game's batch: k fused
-        sub-programs + on-device round-robin interleave + union-padded info
-        (the reference's fixed joint tensortypes, vecgame.cpp:270-330) —
-        replaces k sequential dispatches per step (the 16-game suite was
-        dispatch-bound at 4.7x baseline)."""
-        cores = [sub._carry_core for sub in self.subs]
+        """Chunked fused stepping: ceil(k/FUSE_CHUNK) jitted programs, each
+        stepping up to FUSE_CHUNK sub-games, plus one jitted merge doing
+        the on-device round-robin interleave + union-padded info (the
+        reference's fixed joint tensortypes, vecgame.cpp:270-330).
+        Replaces k sequential dispatch pairs per step (the 16-game suite
+        was dispatch-bound at 4.7x baseline)."""
         k = self.k
 
         def il(parts):
@@ -580,20 +587,41 @@ class JointJaxVecGame:
             st = jnp.stack(parts, axis=1)
             return st.reshape((self.num,) + st.shape[2:])
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def joint_fn(carries, acts):
-            new_carries, obs_l, rew_l, first_l, infos = [], [], [], [], []
-            for core, c, a in zip(cores, carries, acts):
-                c2, (obs, rew, first, info) = core(c, a)
-                new_carries.append(c2)
-                obs_l.append(obs)
-                rew_l.append(rew)
-                first_l.append(first)
-                infos.append(info)
+        chunks = []
+        for lo in range(0, k, self.FUSE_CHUNK):
+            cores = [
+                sub._carry_core
+                for sub in self.subs[lo : lo + self.FUSE_CHUNK]
+            ]
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chunk_fn(carries, acts, cores=cores):
+                new_carries, outs = [], []
+                for core, c, a in zip(cores, carries, acts):
+                    c2, out = core(c, a)
+                    new_carries.append(c2)
+                    outs.append(out)
+                return tuple(new_carries), tuple(outs)
+
+            chunks.append((lo, chunk_fn))
+
+        @jax.jit
+        def merge_fn(outs):
+            obs_l = [o[0] for o in outs]
+            rew_l = [o[1] for o in outs]
+            first_l = [o[2] for o in outs]
+            infos = [o[3] for o in outs]
             info = _pad_union_infos(infos, il)
-            return tuple(new_carries), (
-                il(obs_l), il(rew_l), il(first_l), info
-            )
+            return il(obs_l), il(rew_l), il(first_l), info
+
+        def joint_fn(carries, acts):
+            new_carries, outs = [], []
+            for lo, chunk_fn in chunks:
+                hi = min(lo + self.FUSE_CHUNK, k)
+                cs, os_ = chunk_fn(carries[lo:hi], acts[lo:hi])
+                new_carries.extend(cs)
+                outs.extend(os_)
+            return tuple(new_carries), merge_fn(tuple(outs))
 
         return joint_fn
 
