@@ -716,9 +716,13 @@ class BasicAbstractGame:
 
         def body(carry, j):
             s, rec, block2 = carry
-            i = cap - 1 - j  # reverse order
+            # reverse order over LIVE slots only: pools are contiguously
+            # compacted, so the loop is bounded by e.count (under vmap the
+            # fori_loop runs to the batch max, not ENT_CAP — coinrun
+            # carries ~7 live of 48 slots at steady state)
             e = s.ents
-            valid = (i < e.count) & (i != 0) & ~e.will_erase[i]
+            i = jnp.clip(e.count - 1 - j, 0, cap - 1)
+            valid = (j < e.count) & (i != 0) & ~e.will_erase[i]
             tx = rec["rx"] + e.rx[i] + POS_EPS
             ty = rec["ry"] + e.ry[i] + POS_EPS
             coll = (jnp.abs(rec["x"] - e.x[i]) < tx) & (
@@ -749,8 +753,12 @@ class BasicAbstractGame:
                                     do=curr_block)
             return (s, rec, block2 | curr_block), None
 
-        (s, rec, block2), _ = jax.lax.scan(
-            body, (s, rec, jnp.asarray(False)), jnp.arange(cap)
+        def fbody(j, carry):
+            carry, _ = body(carry, j)
+            return carry
+
+        s, rec, block2 = jax.lax.fori_loop(
+            0, s.ents.count, fbody, (s, rec, jnp.asarray(False))
         )
         return s, rec, block2
 
@@ -837,22 +845,36 @@ class BasicAbstractGame:
             broken |= live & bx & by
             return s, rec, vx_pct, vy_pct, broken
 
+        # Dynamic trip count: the C++ runs num_sub = max(4, 4*|v|)
+        # sub-steps per mover (cpp:602-616) but a static unroll pays
+        # MAX_SUB_STEPS for everyone.  A while_loop under vmap runs to
+        # the BATCH max of num_sub — typically 4 when no mover is fast —
+        # with identical per-iteration masking, so trajectories are
+        # unchanged.  max_sub stays as a hard safety clamp.
         if carry_state:
-            def one_sub(carry, si):
-                s, rec, vx_pct, vy_pct, broken = carry
+            def w_cond(carry):
+                _s, _rec, _vx, _vy, broken, si = carry
+                return (si < jnp.minimum(num_sub, max_sub)) & ~broken
+
+            def w_body(carry):
+                s, rec, vx_pct, vy_pct, broken, si = carry
                 s, rec, vx_pct, vy_pct, broken = sub_math(
                     s, rec, vx_pct, vy_pct, broken, si
                 )
-                return (s, rec, vx_pct, vy_pct, broken), None
+                return (s, rec, vx_pct, vy_pct, broken, si + 1)
 
-            (s, rec, vx_pct, vy_pct, _), _ = jax.lax.scan(
-                one_sub,
-                (s, rec, f32(0.0), f32(0.0), jnp.asarray(False)),
-                jnp.arange(max_sub),
+            (s, rec, vx_pct, vy_pct, _, _) = jax.lax.while_loop(
+                w_cond, w_body,
+                (s, rec, f32(0.0), f32(0.0), jnp.asarray(False),
+                 jnp.asarray(0, i32)),
             )
         else:
-            def one_sub(carry, si):
-                rec, vx_pct, vy_pct, broken = carry
+            def w_cond(carry):
+                _rec, _vx, _vy, broken, si = carry
+                return (si < jnp.minimum(num_sub, max_sub)) & ~broken
+
+            def w_body(carry):
+                rec, vx_pct, vy_pct, broken, si = carry
                 s2, rec, vx_pct, vy_pct, broken = sub_math(
                     s, rec, vx_pct, vy_pct, broken, si
                 )
@@ -869,12 +891,12 @@ class BasicAbstractGame:
                         f"{self.name}: non-state-carrying mover mutated "
                         "state; it must run with the state-carrying scan"
                     )
-                return (rec, vx_pct, vy_pct, broken), None
+                return (rec, vx_pct, vy_pct, broken, si + 1)
 
-            (rec, vx_pct, vy_pct, _), _ = jax.lax.scan(
-                one_sub,
-                (rec, f32(0.0), f32(0.0), jnp.asarray(False)),
-                jnp.arange(max_sub),
+            (rec, vx_pct, vy_pct, _, _) = jax.lax.while_loop(
+                w_cond, w_body,
+                (rec, f32(0.0), f32(0.0), jnp.asarray(False),
+                 jnp.asarray(0, i32)),
             )
         rec = dict(rec)
         rec["vx"] = rec["vx"] * (vx_pct / num_sub.astype(f32))

@@ -84,6 +84,10 @@ class Bossfight(BasicAbstractGame):
     MAX_STEP_DRAWS = 8
     MAX_SUB_STEPS = 6  # maxspeed .85
     VULNERABLE_DURATION = 500
+    # the arena never writes the grid and the camera is fixed (full-world
+    # view, bossfight.cpp:202), so bg+grid+cell layers are per-level
+    # constants — guarded by tests/test_static_frame.py
+    STATIC_RENDER_PREFIX = True
 
     def __init__(self, options):
         super().__init__(options)

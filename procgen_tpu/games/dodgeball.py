@@ -78,6 +78,10 @@ class Dodgeball(BasicAbstractGame):
     ENTITY_SCAN = False  # agent has no entity blocking
     ENTITY_SCAN_NONAGENT = True  # enemies reflect off lava-wall entities
     ENEMY_FIRE_DELAY = 50
+    # walls/doors are entities, the grid is never written, and easy/hard
+    # use a fixed full-world camera (memory mode centers the agent, which
+    # static_prefix already excludes) — tests/test_static_frame.py
+    STATIC_RENDER_PREFIX = True
 
     def __init__(self, options):
         super().__init__(options)

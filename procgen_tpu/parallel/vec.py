@@ -150,7 +150,8 @@ def splice_pool(pool, states):
     )
 
 
-def replenish_pool(game: BasicAbstractGame, states, pool, valid, k: int):
+def replenish_pool(game: BasicAbstractGame, states, pool, valid, k: int,
+                   max_iters: Optional[int] = None):
     """Rebuild next-level pool entries for every invalid slot, K at a time.
 
     ``env_reset`` is a pure function of the live state's
@@ -159,14 +160,26 @@ def replenish_pool(game: BasicAbstractGame, states, pool, valid, k: int):
     post-reset state can be computed ahead of time and consumed with a
     cheap select in ``step`` — the serial level-generation depth is paid
     once per replenish call instead of once per step.
+
+    ``max_iters`` bounds the chunks rebuilt in one call: the smooth
+    per-step mode drains at most one K-chunk per step so correlated
+    episode-end waves (e.g. the synchronized timeout after a fresh
+    start) never burst level generation into a single step's window
+    (BENCH r4: maze min-windows dipped 25-39% below median).  Slots
+    still invalid simply wait; a double-finish before its slot refills
+    falls back to the in-step ``reset_pending`` path, which is always
+    correct.
     """
 
     def cond(carry):
-        _, valid = carry
-        return ~jnp.all(valid)
+        _, valid, it = carry
+        more = ~jnp.all(valid)
+        if max_iters is not None:
+            more &= it < max_iters
+        return more
 
     def body(carry):
-        pool, valid = carry
+        pool, valid, it = carry
         idx = jnp.argsort(valid, stable=True)[:k]  # invalid slots first
         sel = ~valid[idx]
         live_sub = _tree_gather(states, idx)
@@ -174,9 +187,11 @@ def replenish_pool(game: BasicAbstractGame, states, pool, valid, k: int):
         cur_sub = _tree_gather(pool, idx)
         pool = _tree_scatter(pool, idx, _tree_select(sel, new_sub, cur_sub))
         valid = valid.at[idx].set(jnp.ones_like(sel))
-        return pool, valid
+        return pool, valid, it + 1
 
-    pool, valid = jax.lax.while_loop(cond, body, (pool, valid))
+    pool, valid, _ = jax.lax.while_loop(
+        cond, body, (pool, valid, jnp.zeros((), i32))
+    )
     return pool, valid
 
 
@@ -248,8 +263,13 @@ class JaxVecGame:
             not game.options.use_sequential_levels
             and os.environ.get("PROCGEN_TPU_RESET_POOL", "1") != "0"
         )
+        # Replenish pacing: "smooth" (default) drains at most one K-chunk
+        # per step whenever invalid slots exist — constant worst-case
+        # per-step cost, no every-Mth-step level-gen bursts (BENCH r4
+        # min-window spikes).  PROCGEN_TPU_REPLENISH_EVERY=M>0 restores
+        # the batched every-M-steps mode.
         self._replenish_every = int(
-            os.environ.get("PROCGEN_TPU_REPLENISH_EVERY", "8")
+            os.environ.get("PROCGEN_TPU_REPLENISH_EVERY", "0")
         )
         m = self._replenish_every
         # per-step RNG budget guard (host sync each step — debug only)
@@ -303,17 +323,26 @@ class JaxVecGame:
             states = reset_pending(game, states, needs_reset & ~use, self._k)
             obs = _observe_impl(states)
 
-            def rep(args):
-                states, pool, valid = args
-                pool, valid = replenish_pool(game, states, pool, valid, self._k)
-                return pool, valid
+            if m > 0:
+                def rep(args):
+                    states, pool, valid = args
+                    pool, valid = replenish_pool(
+                        game, states, pool, valid, self._k
+                    )
+                    return pool, valid
 
-            pool, valid = jax.lax.cond(
-                (t % m) == (m - 1),
-                rep,
-                lambda args: (args[1], args[2]),
-                (states, pool, valid),
-            )
+                pool, valid = jax.lax.cond(
+                    (t % m) == (m - 1),
+                    rep,
+                    lambda args: (args[1], args[2]),
+                    (states, pool, valid),
+                )
+            else:
+                # smooth mode: at most one K-chunk per step, only when
+                # invalid slots exist (zero iterations otherwise)
+                pool, valid = replenish_pool(
+                    game, states, pool, valid, self._k, max_iters=1
+                )
             return (states, pool, valid, t + 1), obs
 
         def carry_core(carry, actions):
@@ -335,6 +364,7 @@ class JaxVecGame:
 
         self._cached_obs = None
         self._cached_for = None
+        self._rollout_fn = None
         seeds = jnp.asarray(seeds)
         if self._env_sharding is not None:
             seeds = jax.device_put(seeds, self._env_sharding)
@@ -430,6 +460,44 @@ class JaxVecGame:
                         f"{self.game.name}: {cnt} simultaneous smart movers "
                         f"> MAX_SMART={self.game.MAX_SMART} — raise the bound"
                     )
+
+    def rollout(self, actions):
+        """Step ``k`` times in ONE device program: ``actions`` is
+        [k, num] int32; returns (obs, rew, first) stacked [k, num, ...].
+
+        A ``lax.scan`` over the fused step removes the per-step dispatch
+        round-trip — the dominant cost at small batch (the reference's
+        own benchmark config runs num_envs=64, env_test.py:55-68, where
+        a TPU step program outruns its dispatch).  Bit-equivalent to k
+        ``act()`` calls: the scanned body IS ``step_pool_core``.
+        info dicts are omitted (use act/observe when you need them)."""
+        actions = jnp.asarray(actions, i32)
+        assert actions.ndim == 2 and actions.shape[1] == self.num
+        if self._env_sharding is not None:
+            actions = jax.device_put(
+                actions,
+                jax.sharding.NamedSharding(
+                    self.mesh,
+                    jax.sharding.PartitionSpec(None, "env"),
+                ),
+            )
+        if self._rollout_fn is None:
+            core = self._carry_core
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def rollout_fn(carry, acts):
+                def body(c, a):
+                    c2, (obs, rew, first, _info) = core(c, a)
+                    return c2, (obs, rew, first)
+
+                return jax.lax.scan(body, carry, acts)
+
+            self._rollout_fn = rollout_fn
+        carry = (self.states, self._pool, self._pool_valid, self._t)
+        carry, outs = self._rollout_fn(carry, actions)
+        self.states, self._pool, self._pool_valid, self._t = carry
+        self._cached_obs = None
+        return outs
 
     def observe(self):
         # The cached observation is valid only for the states object the

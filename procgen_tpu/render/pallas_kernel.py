@@ -148,10 +148,45 @@ class PallasPlan:
             self.ent_flat = np.transpose(both, (0, 1, 3, 2)).reshape(
                 2 * self.n1e * self.S, 4 * self.S
             ).astype(_np_bf16)
+            # group-pass layout: rows = variant*4S + channel*S + p, cols =
+            # q — the column-resample matmul [4S,S]x[S,res] samples all 4
+            # channels of one variant in a single MXU pass
+            self.ent_flat4 = np.transpose(both, (0, 3, 1, 2)).reshape(
+                2 * self.n1e * 4 * self.S, self.S
+            ).astype(_np_bf16)
         else:
             self.S = 2
             self.n1e = 1
             self.ent_flat = np.zeros((2 * 1 * 2, 4 * 2), _np_bf16)
+            self.ent_flat4 = np.zeros((2 * 1 * 4 * 2, 2), _np_bf16)
+
+        # --- sprite group scheduling config (render/sprite_groups.py):
+        # pools big enough to be op-issue-bound take the grouped pass;
+        # small pools keep the cheap per-slot unroll
+        self.CAPK = 8
+
+        def g_max(pool_cap):
+            return int(min(pool_cap, max(8, -(-pool_cap * 3 // (2 * self.CAPK)))))
+
+        flag = os.environ.get("PROCGEN_TPU_SPRITE_GROUPS", "1") != "0"
+        self.groups_e = flag and ent_atlas is not None and self.cap > 16
+        self.groups_d = (
+            flag and ent_atlas is not None and bool(self.dcap)
+            and self.dcap > 16
+        )
+        self.G_MAX_E = g_max(self.cap) if self.groups_e else 1
+        self.G_MAX_D = g_max(self.dcap) if self.groups_d else 1
+        self.NST_E = len(self.z_levels) * self.G_MAX_E
+        self.NST_D = len(self.dz_levels) * self.G_MAX_D
+        # extra SMEM scalar columns: per-z used-group counts + legacy
+        # counts for both pools (zero-filled when a pool isn't grouped)
+        nz = len(self.z_levels)
+        nzd = len(self.dz_levels)
+        self.SI_USED_E = SI_N
+        self.SI_LEG_E = SI_N + nz
+        self.SI_USED_D = SI_N + nz + 1
+        self.SI_LEG_D = SI_N + nz + 1 + nzd
+        self.SI_TOTAL = SI_N + nz + nzd + 2
 
 
 _PLANS: dict = {}
@@ -225,7 +260,7 @@ def _prep_one(plan: PallasPlan, s):
     y_off = unit * (cy - vis / 2)
 
     sf = jnp.zeros((SF_N,), f32)
-    si = jnp.zeros((SI_N,), i32)
+    si = jnp.zeros((plan.SI_TOTAL,), i32)
     sf = sf.at[SF_UNIT].set(unit).at[SF_VIS].set(vis)
     sf = sf.at[SF_XOFF].set(x_off).at[SF_YOFF].set(y_off)
 
@@ -276,20 +311,12 @@ def _prep_one(plan: PallasPlan, s):
         gcanvas = jnp.zeros((5, 1, 1), u8)
         cell5 = jnp.zeros((5, 1, 1), f32)
         bgc = jnp.zeros((3, 1, 1), jnp.bfloat16)
-        ent_f, ent_i = _prep_pool(
-            plan, s, s.ents, game.should_draw_entity_mask(s),
-            plan.z_levels, res, unit, vis, x_off, y_off,
+        si, pools = _pools_prep(plan, s, si, res, unit, vis, x_off, y_off)
+        out = dict(
+            sf=sf, si=si, gcanvas=gcanvas, cell5=cell5, bgc=bgc, **pools
         )
-        if plan.dcap:
-            dec_f, dec_i = _prep_pool(
-                plan, s, s.decor, None, plan.dz_levels, res, unit, vis,
-                x_off, y_off,
-            )
-        else:
-            dec_f = jnp.zeros((1, EF_N), f32)
-            dec_i = jnp.zeros((1, EI_N), i32)
-        base = jnp.transpose(s.frame, (2, 0, 1))  # [3, res, res] u8
-        return sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc, base
+        out["base"] = jnp.transpose(s.frame, (2, 0, 1))  # [3,res,res] u8
+        return out
 
     # grid cell window (renderer._paint_grid_tiles)
     wmax, hmax = game.WORLD_DIM_MAX
@@ -346,20 +373,65 @@ def _prep_one(plan: PallasPlan, s):
     else:
         bgc = jnp.zeros((3, 1, 1), jnp.bfloat16)
 
-    ent_f, ent_i = _prep_pool(
+    si, pools = _pools_prep(plan, s, si, res, unit, vis, x_off, y_off)
+    return dict(sf=sf, si=si, gcanvas=gcanvas, cell5=cell5, bgc=bgc, **pools)
+
+
+def _pools_prep(plan, s, si, res, unit, vis, x_off, y_off):
+    """Shared sprite-pool prep: per-slot params + group tables."""
+    game = plan.game
+    out = {}
+    ent_f, ent_i, raw_e = _prep_pool(
         plan, s, s.ents, game.should_draw_entity_mask(s), plan.z_levels,
         res, unit, vis, x_off, y_off,
     )
+    out["ent_f"], out["ent_i"] = ent_f, ent_i
     if plan.dcap:
-        dec_f, dec_i = _prep_pool(
+        dec_f, dec_i, raw_d = _prep_pool(
             plan, s, s.decor, None, plan.dz_levels, res, unit, vis, x_off,
             y_off,
         )
     else:
         dec_f = jnp.zeros((1, EF_N), f32)
         dec_i = jnp.zeros((1, EI_N), i32)
+        raw_d = None
+    out["dec_f"], out["dec_i"] = dec_f, dec_i
 
-    return sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc
+    from . import sprite_groups as sg
+
+    def tables(raw, z_levels, G_MAX):
+        srow, qcol = sg.index_maps(
+            res, plan.S, raw["x0"], raw["y0"], raw["w2"], raw["h2"],
+            raw["nth"], raw["ntv"], raw["tileh"], raw["tilev"],
+            raw["pflip"], raw["qflip"],
+        )
+        return sg.schedule(
+            res, plan.S, len(z_levels), G_MAX, plan.CAPK, srow, qcol,
+            raw["z_idx"], raw["live"], raw["fb"], raw["alpha"],
+            raw["row2"],
+        )
+
+    if plan.groups_e:
+        t = tables(raw_e, plan.z_levels, plan.G_MAX_E)
+        out["eg_prow"] = t.prow
+        out["eg_alpha"] = t.alpha
+        out["eg_memb"] = jnp.concatenate([t.memberq, t.mrow2], axis=1)
+        out["eg_qcol"] = t.qcol
+        out["eg_legacy"] = t.legacy_ids
+        for z in range(len(plan.z_levels)):
+            si = si.at[plan.SI_USED_E + z].set(t.used[z])
+        si = si.at[plan.SI_LEG_E].set(t.legacy_count)
+    if plan.groups_d:
+        t = tables(raw_d, plan.dz_levels, plan.G_MAX_D)
+        out["dg_prow"] = t.prow
+        out["dg_alpha"] = t.alpha
+        out["dg_memb"] = jnp.concatenate([t.memberq, t.mrow2], axis=1)
+        out["dg_qcol"] = t.qcol
+        out["dg_legacy"] = t.legacy_ids
+        for z in range(len(plan.dz_levels)):
+            si = si.at[plan.SI_USED_D + z].set(t.used[z])
+        si = si.at[plan.SI_LEG_D].set(t.legacy_count)
+    return si, out
 
 
 def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
@@ -464,7 +536,13 @@ def _prep_pool(plan, s, pool, mask, z_levels, res, unit, vis, x_off, y_off):
          (tr > 0).astype(i32), (tr < 0).astype(i32)],
         axis=-1,
     )
-    return ent_f, ent_i
+    raw = dict(
+        x0=x0, y0=y0, w2=w2, h2=h2, alpha=e.alpha, row2=row2,
+        pflip=pflip, qflip=qflip, nth=nt_h, ntv=nt_v,
+        tileh=tr > 0, tilev=tr < 0, live=live_all, fb=is_fallback,
+        z_idx=z_idx,
+    )
+    return ent_f, ent_i, raw
 
 
 # ---------------------------------------------------------------------------
@@ -499,27 +577,42 @@ def _make_kernel(plan: PallasPlan, B: int):
     def iota_row(n):
         return jax.lax.broadcasted_iota(i32, (1, n), 1)
 
+    groups_e, groups_d = plan.groups_e, plan.groups_d
+    any_groups = groups_e or groups_d
+    CAPK = plan.CAPK
+
     def kernel(sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref, enti_ref,
                decf_ref, deci_ref, bgc_ref, bg_ref, ent_ref, *rest):
-        if static:
-            base_ref, out_ref, ecanv_ref, dcanv_ref = rest
+        rest = list(rest)
+        ent4_ref = rest.pop(0) if any_groups else None
+        eg = [rest.pop(0) for _ in range(5)] if groups_e else None
+        dg = [rest.pop(0) for _ in range(5)] if groups_d else None
+        base_ref = rest.pop(0) if static else None
+        if any_groups:
+            out_ref, ecanv_ref, dcanv_ref, gscr_ref = rest
+            # unwritten member regions of the group scratch must be
+            # finite: a NaN anywhere in the contraction poisons the
+            # row-gather matmul even under zero coefficients
+            gscr_ref[...] = jnp.zeros((4 * CAPK * plan.S, res), bf16)
         else:
-            base_ref = None
             out_ref, ecanv_ref, dcanv_ref = rest
+            gscr_ref = None
 
         # B envs per program: amortizes per-program pipeline overhead
         def render_one(b, _):
             return _render_env(
                 b, sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref,
                 enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
-                ent_ref, base_ref, out_ref, ecanv_ref, dcanv_ref,
+                ent_ref, ent4_ref, eg, dg, gscr_ref,
+                base_ref, out_ref, ecanv_ref, dcanv_ref,
             )
 
         jax.lax.fori_loop(0, B, render_one, 0)
 
     def _render_env(b, sf_ref, si_ref, gcanvas_ref, cell5_ref, entf_ref,
                     enti_ref, decf_ref, deci_ref, bgc_ref, bg_ref,
-                    ent_ref, base_ref, out_ref, ecanv_ref, dcanv_ref):
+                    ent_ref, ent4_ref, eg, dg, gscr_ref,
+                    base_ref, out_ref, ecanv_ref, dcanv_ref):
         unit = sf_ref[b, 0, SF_UNIT]
         vis = sf_ref[b, 0, SF_VIS]
         x_off = sf_ref[b, 0, SF_XOFF]
@@ -597,8 +690,10 @@ def _make_kernel(plan: PallasPlan, B: int):
             obs = jnp.zeros((3, res, res), f32)
 
         # ---- entity sprite canvases (both pools, one pass each) ---------
+        # canvas layout [nz, res, 4*res]: RGBA interleaved in lanes so a
+        # blend touches one contiguous window
         def zero(ref, n):
-            ref[...] = jnp.zeros((n * 4, res, res), f32)
+            ref[...] = jnp.zeros((n, res, 4 * res), f32)
 
         zero(ecanv_ref, nz)
         if dcap:
@@ -606,7 +701,8 @@ def _make_kernel(plan: PallasPlan, B: int):
 
         SLAB = 32  # row band per sprite blend; res/SLAB passes for tall ones
 
-        def sprite_pass(n_slots, f_ref, i_ref, canv_ref, nz_pool, count):
+        def sprite_pass(n_slots, f_ref, i_ref, canv_ref, nz_pool, count,
+                        leg_ref=None):
             def slot_body(i):
                 if "sprite_scalar" in _ABLATE:  # debug: measure scalar-read cost
                     live = jnp.int32(1)
@@ -650,7 +746,7 @@ def _make_kernel(plan: PallasPlan, B: int):
                     tilev = i_ref[b, i, EI_TILEV] > 0
                     ntv = i_ref[b, i, EI_NTV].astype(f32)
                 on = (live > 0) & (zi >= 0)
-                zoff = jnp.clip(zi, 0, nz_pool - 1) * 4
+                zc = jnp.clip(zi, 0, nz_pool - 1)
 
                 def do_slab(start):
                     # rows [start, start+SLAB): blending rows where the
@@ -700,15 +796,20 @@ def _make_kernel(plan: PallasPlan, B: int):
                             fb, f_ref[b, i, EF_R + c], samp(c)
                         )
                         if "sprite_blend" in _ABLATE:  # debug: write-only
-                            canv_ref[zoff + c, pl.ds(start, SLAB), :] = rgb_c
+                            canv_ref[zc, pl.ds(start, SLAB),
+                                     c * res:(c + 1) * res] = rgb_c
                             continue
-                        old = canv_ref[zoff + c, pl.ds(start, SLAB), :]
-                        canv_ref[zoff + c, pl.ds(start, SLAB), :] = (
+                        old = canv_ref[zc, pl.ds(start, SLAB),
+                                       c * res:(c + 1) * res]
+                        canv_ref[zc, pl.ds(start, SLAB),
+                                 c * res:(c + 1) * res] = (
                             (rgb_c * a + old * (1 - a)).astype(bf16)
                         ).astype(f32)
                     if "sprite_blend" not in _ABLATE:
-                        old_a = canv_ref[zoff + 3, pl.ds(start, SLAB), :]
-                        canv_ref[zoff + 3, pl.ds(start, SLAB), :] = (
+                        old_a = canv_ref[zc, pl.ds(start, SLAB),
+                                         3 * res:4 * res]
+                        canv_ref[zc, pl.ds(start, SLAB),
+                                 3 * res:4 * res] = (
                             (a + old_a * (1 - a)).astype(bf16)
                         ).astype(f32)
 
@@ -728,7 +829,18 @@ def _make_kernel(plan: PallasPlan, B: int):
                     for s0 in range(0, res, SLAB):
                         do_slab(s0)
 
-            if n_slots <= 8:
+            if leg_ref is not None:
+                # legacy stream of a grouped pool: compacted slot ids in
+                # paint order (fallback rects, spills, and their
+                # overlap-cascade — render/sprite_groups.py)
+                def leg_body(j, _):
+                    # [B, cap, 1] layout: the dynamic index lands on the
+                    # sublane dim (dynamic LANE indexing is unsupported)
+                    slot_body(leg_ref[b, j, 0])
+                    return 0
+
+                jax.lax.fori_loop(0, count, leg_body, 0)
+            elif n_slots <= 8:
                 # small pools: static unroll
                 for i in range(n_slots):
                     slot_body(i)
@@ -749,24 +861,95 @@ def _make_kernel(plan: PallasPlan, B: int):
 
                 jax.lax.fori_loop(0, (count + 1) // 2, pair_body, 0)
 
-        if "sprite" not in _ABLATE:
-            sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
-                        si_ref[b, 0, SI_ENT_COUNT])
-            if dcap:
-                sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref, nzd,
-                            si_ref[b, 0, SI_DEC_COUNT])
+        def group_pass(refs, nz_pool, G_MAX, canv_ref, used_base):
+            """Paint up to CAPK row-disjoint sprites per full-canvas pass
+            (render/sprite_groups.py).  Per group: CAPK column-resample
+            matmuls into shared scratch, one row-gather matmul per
+            channel, one RGBA-interleaved blend."""
+            prow_ref, alpha_ref, memb_ref, qcol_ref, _leg = refs
+            KS = CAPK * S
 
-        def apply_canvas(obs, canv_ref, zoff):
-            a = canv_ref[zoff + 3]
-            return jnp.round(canv_ref[zoff:zoff + 3] + obs * (1 - a)[None])
+            for zidx in range(nz_pool):
+                ng = si_ref[b, 0, used_base + zidx]
+
+                def gbody(g, _, zidx=zidx):
+                    st = zidx * G_MAX + g
+                    for kk in range(CAPK):
+                        slot = memb_ref[b, st, kk]
+                        row2 = memb_ref[b, st, CAPK + kk]
+                        qv = qcol_ref[b, pl.ds(slot, 1), :]  # [1,res] i32
+                        Cx = (
+                            jax.lax.broadcasted_iota(i32, (S, res), 0)
+                            == qv
+                        ).astype(bf16)
+                        tile4 = ent4_ref[pl.ds(row2 * (4 * S), 4 * S), :]
+                        cs = jnp.dot(
+                            tile4, Cx, preferred_element_type=f32
+                        ).astype(bf16)  # [4S, res], exact ints <= 255
+                        for ch in range(4):
+                            gscr_ref[
+                                pl.ds(ch * KS + kk * S, S), :
+                            ] = cs[ch * S:(ch + 1) * S, :]
+                    prowv = prow_ref[b, st, :].reshape(res, 1)
+                    Ry = (
+                        prowv
+                        == jax.lax.broadcasted_iota(i32, (res, KS), 1)
+                    ).astype(bf16)
+                    outs = [
+                        jnp.dot(
+                            Ry, gscr_ref[ch * KS:(ch + 1) * KS, :],
+                            preferred_element_type=f32,
+                        )
+                        for ch in range(4)
+                    ]
+                    av = alpha_ref[b, st, :].reshape(res, 1)
+                    # same multiply order as slot_body: texel*(1/255)*alpha
+                    a = outs[3] * (1.0 / 255.0) * av
+                    out4 = jnp.concatenate(
+                        [outs[0], outs[1], outs[2],
+                         jnp.ones((res, res), f32)],
+                        axis=1,
+                    )
+                    a4 = jnp.concatenate([a, a, a, a], axis=1)
+                    old = canv_ref[zidx]
+                    canv_ref[zidx] = (
+                        (out4 * a4 + old * (1 - a4)).astype(bf16)
+                    ).astype(f32)
+                    return 0
+
+                jax.lax.fori_loop(0, ng, gbody, 0)
+
+        if "sprite" not in _ABLATE:
+            if groups_e:
+                group_pass(eg, nz, plan.G_MAX_E, ecanv_ref, plan.SI_USED_E)
+                sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
+                            si_ref[b, 0, plan.SI_LEG_E], leg_ref=eg[4])
+            else:
+                sprite_pass(cap, entf_ref, enti_ref, ecanv_ref, nz,
+                            si_ref[b, 0, SI_ENT_COUNT])
+            if dcap:
+                if groups_d:
+                    group_pass(dg, nzd, plan.G_MAX_D, dcanv_ref,
+                               plan.SI_USED_D)
+                    sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref, nzd,
+                                si_ref[b, 0, plan.SI_LEG_D], leg_ref=dg[4])
+                else:
+                    sprite_pass(dcap, decf_ref, deci_ref, dcanv_ref, nzd,
+                                si_ref[b, 0, SI_DEC_COUNT])
+
+        def apply_canvas(obs, canv_ref, zidx):
+            c4 = canv_ref[zidx]  # [res, 4*res]
+            a = c4[:, 3 * res:]
+            rgb = jnp.stack([c4[:, c * res:(c + 1) * res] for c in range(3)])
+            return jnp.round(rgb + obs * (1 - a)[None])
 
         def paint_z(obs, zlevel):
             if zlevel in plan.z_levels:
                 obs = apply_canvas(obs, ecanv_ref,
-                                   plan.z_levels.index(zlevel) * 4)
+                                   plan.z_levels.index(zlevel))
             if dcap and zlevel in plan.dz_levels:
                 obs = apply_canvas(obs, dcanv_ref,
-                                   plan.dz_levels.index(zlevel) * 4)
+                                   plan.dz_levels.index(zlevel))
             return obs
 
         obs = paint_z(obs, -1)
@@ -889,7 +1072,7 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
 
     in_specs = [
         row_block((1, SF_N), pltpu.SMEM),
-        row_block((1, SI_N), pltpu.SMEM),
+        row_block((1, plan.SI_TOTAL), pltpu.SMEM),
         row_block((5, 1, 1) if plan.static else (5, plan.GS, plan.GS)),
         row_block((5, 1, 1) if plan.static else (5, NC, NC)),
         # per-slot sprite params stay in VMEM: SMEM pads every scalar to
@@ -903,8 +1086,36 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
         const_block(plan.bg_flat),
         const_block(plan.ent_flat),
     ]
+    any_groups = plan.groups_e or plan.groups_d
+    if any_groups:
+        in_specs.append(const_block(plan.ent_flat4))
+    if plan.groups_e:
+        in_specs += [
+            row_block((plan.NST_E, res)),
+            row_block((plan.NST_E, res)),
+            row_block((plan.NST_E, 2 * plan.CAPK)),
+            row_block((cap, res)),
+            row_block((cap, 1)),
+        ]
+    if plan.groups_d:
+        in_specs += [
+            row_block((plan.NST_D, res)),
+            row_block((plan.NST_D, res)),
+            row_block((plan.NST_D, 2 * plan.CAPK)),
+            row_block((dcap_eff, res)),
+            row_block((dcap_eff, 1)),
+        ]
     if plan.static:
         in_specs.append(row_block((3, res, res)))  # precomposed base frame
+
+    scratch_shapes = [
+        pltpu.VMEM((nz, res, 4 * res), f32),
+        pltpu.VMEM((nzd, res, 4 * res), f32),
+    ]
+    if any_groups:
+        scratch_shapes.append(
+            pltpu.VMEM((4 * plan.CAPK * plan.S, res), jnp.bfloat16)
+        )
 
     call = pl.pallas_call(
         kernel,
@@ -912,10 +1123,7 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
         grid=(N // B,),
         in_specs=in_specs,
         out_specs=row_block((3, res, res)),
-        scratch_shapes=[
-            pltpu.VMEM((nz * 4, res, res), f32),
-            pltpu.VMEM((nzd * 4, res, res), f32),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
     return call
@@ -928,20 +1136,25 @@ def render_obs_batch(game, states, res: int = RES, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     prep = jax.vmap(lambda s: _prep_one(plan, s))(states)
-    if plan.static:
-        sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc, base = prep
-    else:
-        sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc = prep
-    N = sf.shape[0]
-    sf = sf.reshape(N, 1, SF_N)
-    si = si.reshape(N, 1, SI_N)
+    N = prep["sf"].shape[0]
+    sf = prep["sf"].reshape(N, 1, SF_N)
+    si = prep["si"].reshape(N, 1, plan.SI_TOTAL)
     call = _pallas_call(plan, N, interpret)
     args = [
-        sf, si, gcanvas, cell5, ent_f, ent_i, dec_f, dec_i, bgc,
+        sf, si, prep["gcanvas"], prep["cell5"], prep["ent_f"],
+        prep["ent_i"], prep["dec_f"], prep["dec_i"], prep["bgc"],
         jnp.asarray(plan.bg_flat), jnp.asarray(plan.ent_flat),
     ]
+    if plan.groups_e or plan.groups_d:
+        args.append(jnp.asarray(plan.ent_flat4))
+    if plan.groups_e:
+        args += [prep["eg_prow"], prep["eg_alpha"], prep["eg_memb"],
+                 prep["eg_qcol"], prep["eg_legacy"][..., None]]
+    if plan.groups_d:
+        args += [prep["dg_prow"], prep["dg_alpha"], prep["dg_memb"],
+                 prep["dg_qcol"], prep["dg_legacy"][..., None]]
     if plan.static:
-        args.append(base)
+        args.append(prep["base"])
     out = call(*args)
     obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)
 

@@ -17,7 +17,7 @@ from procgen_tpu.core.options import GameOptions
 from procgen_tpu.games.registry import available_games, make_game
 from procgen_tpu.render.renderer import render_obs
 
-STATIC_GAMES = ["bigfish", "leaper", "maze", "plunder"]
+STATIC_GAMES = ["bigfish", "bossfight", "dodgeball", "leaper", "maze", "plunder"]
 
 
 def test_static_game_list_is_exhaustive():
