@@ -158,6 +158,13 @@ class BasicAbstractGame:
     # other's positions (no entity-entity block/reflect among them) — their
     # sub-stepped moves commute and run vmapped instead of sequentially
     DECOR_CAP: int = 0  # capacity of the decorative pool
+    # Entity types this game routes to the decorative pool (the reference
+    # keeps them in the one entities vector; the state bridge splits and
+    # re-merges by this set, utils/refstate.py).  Shared EXPLOSION..TRAIL
+    # ids by default (object-ids.h:18-25); games with their own
+    # render-only types (bossfight LASER_TRAIL, caveflyer EXHAUST,
+    # dodgeball DUST_CLOUD) extend it.
+    DECOR_TYPES: frozenset = frozenset(range(54, 60))
     # static render_z levels each pool can contain (agent is always z=1,
     # cpp game_reset; miner's exit is z=-1).  The sprite pass builds one
     # canvas per level, so keeping this tight cuts render HBM traffic.

@@ -79,6 +79,7 @@ class Bossfight(BasicAbstractGame):
     ARB_ROT_TYPES = {4: 16}  # enemy bullets spin by pi/8 steps
     # (vrot = pi/8, bossfight.cpp:262): 16 buckets are exact
     DECOR_CAP = 160  # laser trails (one per enemy bullet per step) + booms
+    DECOR_TYPES = frozenset(range(54, 60)) | {LASER_TRAIL}
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
     MAX_STEP_DRAWS = 8

@@ -57,6 +57,7 @@ class Caveflyer(BasicAbstractGame):
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
     DECOR_CAP = 32  # exhaust + explosions
+    DECOR_TYPES = frozenset(range(54, 60)) | {EXHAUST}
     # ship, bullets, and exhaust rotate by arbitrary angles (caveflyer.cpp:267-296)
     ARB_ROT_TYPES = (0, 4, 9)  # PLAYER, PLAYER_BULLET, EXHAUST
 

@@ -68,6 +68,7 @@ class Dodgeball(BasicAbstractGame):
     # ENEMY_BALL face 45-degree directions (8 exact buckets); ENEMY
     # face_direction is continuous (dodgeball.cpp:362,433) -> 32 buckets
     DECOR_CAP = 16  # dust clouds
+    DECOR_TYPES = frozenset(range(54, 60)) | {DUST_CLOUD}
     DISPATCH_VECTORIZED = True
     ANY_COLLIDES_WITH_ENTITIES = True
     MAX_STEP_DRAWS = 96  # <=19 enemies x (3 choose_vel + 1 fire) draws

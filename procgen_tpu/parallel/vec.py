@@ -263,15 +263,23 @@ class JaxVecGame:
             not game.options.use_sequential_levels
             and os.environ.get("PROCGEN_TPU_RESET_POOL", "1") != "0"
         )
-        # Replenish pacing: "smooth" (default) drains at most one K-chunk
-        # per step whenever invalid slots exist — constant worst-case
-        # per-step cost, no every-Mth-step level-gen bursts (BENCH r4
-        # min-window spikes).  PROCGEN_TPU_REPLENISH_EVERY=M>0 restores
-        # the batched every-M-steps mode.
+        # Replenish pacing (default: hybrid).  A replenish chunk costs the
+        # same whether it rebuilds 1 or K invalid slots (the level-gen
+        # while_loop body is K-wide), so the r5 "smooth" mode — one chunk
+        # EVERY step with any invalid slot — paid ~5x the level-gen work
+        # and cost maze 34% median throughput.  The hybrid runs at most
+        # one K-chunk per step, triggered only when a full chunk's worth
+        # of slots is invalid OR every M steps (straggler backstop):
+        # full-chunk efficiency of the r4 every-M mode, and correlated
+        # episode-end waves still drain one bounded chunk per step instead
+        # of bursting level gen into a single window (BENCH r4 maze
+        # min-windows dipped 25-39%).  PROCGEN_TPU_REPLENISH_EVERY=M>0
+        # restores the pure every-M-steps batched mode.
         self._replenish_every = int(
             os.environ.get("PROCGEN_TPU_REPLENISH_EVERY", "0")
         )
         m = self._replenish_every
+        m_backstop = 8
         # per-step RNG budget guard (host sync each step — debug only)
         self._check_draws = bool(game.options.debug_mode) or (
             os.environ.get("PROCGEN_TPU_CHECK_DRAWS", "0") == "1"
@@ -338,10 +346,25 @@ class JaxVecGame:
                     (states, pool, valid),
                 )
             else:
-                # smooth mode: at most one K-chunk per step, only when
-                # invalid slots exist (zero iterations otherwise)
-                pool, valid = replenish_pool(
-                    game, states, pool, valid, self._k, max_iters=1
+                # hybrid mode: at most one K-chunk per step, only when a
+                # full chunk of slots is invalid or on the every-M
+                # straggler backstop (see pacing comment above)
+                due = (
+                    (jnp.sum(~valid) >= self._k)
+                    | ((t % m_backstop) == (m_backstop - 1))
+                )
+
+                def rep(args):
+                    states, pool, valid = args
+                    return replenish_pool(
+                        game, states, pool, valid, self._k, max_iters=1
+                    )
+
+                pool, valid = jax.lax.cond(
+                    due,
+                    rep,
+                    lambda args: (args[1], args[2]),
+                    (states, pool, valid),
                 )
             return (states, pool, valid, t + 1), obs
 

@@ -874,6 +874,12 @@ def _make_kernel(plan: PallasPlan, B: int):
 
                 def gbody(g, _, zidx=zidx):
                     st = zidx * G_MAX + g
+                    # NOTE r5: a runtime-bounded member loop (dynamic
+                    # fori_loop to the occupied count, and a pl.when-
+                    # predicated variant) both measured ~15% SLOWER
+                    # end-to-end than this static unroll — Mosaic
+                    # pipelines the fixed CAPK sequence better than it
+                    # handles per-group dynamic trip counts.
                     for kk in range(CAPK):
                         slot = memb_ref[b, st, kk]
                         row2 = memb_ref[b, st, CAPK + kk]
@@ -1117,6 +1123,16 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
             pltpu.VMEM((4 * plan.CAPK * plan.S, res), jnp.bfloat16)
         )
 
+    # The grouped sprite pass holds (B, cap|NST, res) paint tensors plus the
+    # slab scratch in VMEM at once; at B=8 with big pools (bossfight
+    # cap=72/dcap=160) that exceeds the default 16 MiB scoped-vmem budget.
+    # v5e has 128 MiB of physical VMEM — raise the per-kernel cap instead
+    # of shrinking B (half-size blocks measured slower).
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, 3, res, res), u8),
@@ -1125,6 +1141,7 @@ def _pallas_call(plan: PallasPlan, N: int, interpret: bool):
         out_specs=row_block((3, res, res)),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **params,
     )
     return call
 
@@ -1155,7 +1172,10 @@ def render_obs_batch(game, states, res: int = RES, interpret=None):
                  prep["dg_qcol"], prep["dg_legacy"][..., None]]
     if plan.static:
         args.append(prep["base"])
-    out = call(*args)
+    if "call" in _ABLATE:  # debug: measure XLA-side prep+post in isolation
+        out = jnp.zeros((N, 3, res, res), u8)
+    else:
+        out = call(*args)
     obs = jnp.transpose(out, (0, 2, 3, 1)).astype(i32)
 
     # post passes identical to renderer.render_obs: overlays run in XLA

@@ -69,6 +69,7 @@ struct Args {
     int distribution_mode = 1; // HardMode
     bool latents = false;
     bool dump_states = false;
+    std::string load_states;  // file of per-env hex WriteBuffer blobs
     bool debug_agent = false;
     bool debug_ents = false;
     // game options consumed by Game::parse_options (game.cpp:62-95)
@@ -108,6 +109,8 @@ static Args parse_args(int argc, char **argv) {
             a.latents = true;
         else if (k == "--dump-states")
             a.dump_states = true;
+        else if (k == "--load-states")
+            a.load_states = next_str();
         else if (k == "--debug-agent")
             a.debug_agent = true;
         else if (k == "--debug-ents")
@@ -249,6 +252,36 @@ int main(int argc, char **argv) {
         g->reset();
         g->observe();
         g->initial_reset_complete = true;
+    }
+
+    // --load-states: overwrite each game's full state from externally
+    // produced reference-layout bytes (the TPU export bridge), exactly as
+    // VecGame::set_state does (vecgame.cpp:495-505: deserialize + observe).
+    // The construction above ran with whatever --rand-seed the caller gave
+    // (typically a DIFFERENT one), so everything must come from the bytes.
+    if (!a.load_states.empty()) {
+        FILE *f = fopen(a.load_states.c_str(), "r");
+        fassert(f != nullptr);
+        char *line_buf = nullptr;
+        size_t line_cap = 0;
+        for (int e = 0; e < a.num; e++) {
+            ssize_t len = getline(&line_buf, &line_cap, f);
+            fassert(len > 0);
+            while (len > 0 && (line_buf[len - 1] == '\n' || line_buf[len - 1] == '\r'))
+                line_buf[--len] = 0;
+            fassert(len % 2 == 0);
+            std::vector<char> raw(len / 2);
+            for (ssize_t j = 0; j < len / 2; j++) {
+                unsigned v;
+                sscanf(line_buf + 2 * j, "%2x", &v);
+                raw[j] = (char)v;
+            }
+            ReadBuffer rb(raw.data(), raw.size());
+            games[e]->deserialize(&rb);
+            games[e]->observe();
+        }
+        free(line_buf);
+        fclose(f);
     }
 
     printf("{\"init\": {\"level_seeds\": [");
