@@ -388,6 +388,7 @@ class JaxVecGame:
         self._cached_obs = None
         self._cached_for = None
         self._rollout_fn = None
+        self._rollout_full_fn = None
         seeds = jnp.asarray(seeds)
         if self._env_sharding is not None:
             seeds = jax.device_put(seeds, self._env_sharding)
@@ -518,6 +519,32 @@ class JaxVecGame:
             self._rollout_fn = rollout_fn
         carry = (self.states, self._pool, self._pool_valid, self._t)
         carry, outs = self._rollout_fn(carry, actions)
+        self.states, self._pool, self._pool_valid, self._t = carry
+        self._cached_obs = None
+        return outs
+
+    def rollout_full(self, actions):
+        """Like ``rollout`` but also returns the per-step info dicts
+        (stacked [k, num, ...]) — the conformance-replay fast path: a
+        64-step recording replays in ONE device program instead of 64
+        dispatch round-trips (~0.3 s/step of host overhead on CPU).
+        Bit-equivalent to k ``act()`` + ``get_info()`` calls."""
+        actions = jnp.asarray(actions, i32)
+        assert actions.ndim == 2 and actions.shape[1] == self.num
+        if self._rollout_full_fn is None:
+            core = self._carry_core
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def rollout_full_fn(carry, acts):
+                def body(c, a):
+                    c2, outs = core(c, a)
+                    return c2, outs
+
+                return jax.lax.scan(body, carry, acts)
+
+            self._rollout_full_fn = rollout_full_fn
+        carry = (self.states, self._pool, self._pool_valid, self._t)
+        carry, outs = self._rollout_full_fn(carry, actions)
         self.states, self._pool, self._pool_valid, self._t = carry
         self._cached_obs = None
         return outs

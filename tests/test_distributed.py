@@ -1,14 +1,18 @@
-"""2-process ``jax.distributed`` equivalence (SURVEY §5 comm backend).
+"""2-process ``jax.distributed`` equivalence on the PRODUCT path
+(SURVEY §5 comm backend; VERDICT r4 weak #5).
 
 The reference decorrelates seeds per MPI rank (reference procgen
 env.py:73-82) and otherwise runs one independent VecGame per process.
 The TPU design instead runs ONE logical env batch sharded over a global
-mesh spanning processes (parallel/sharding.py init_multihost).  This
-test spawns two coordinated CPU processes (4 virtual devices each → an
-8-device global mesh), steps a sharded maze batch in lockstep, and
-asserts each process's addressable shards are bit-identical to a
-single-process rollout of the same batch.  Also pins the per-process
-seed decorrelation fold used when no rand_seed is given.
+mesh spanning processes (parallel/sharding.py).  This test spawns two
+coordinated CPU processes (4 virtual devices each → an 8-device global
+mesh), drives ``ProcgenGym3Env(mesh=...)`` — the same fused program
+``dryrun_multichip`` compiles: pool auto-reset + textured Pallas/XLA
+render — in lockstep, and asserts each process's addressable shards are
+bit-identical to a single-process rollout of the same batch.  Runs for
+maze (grid-step product path) and dodgeball (continuous physics).
+Also pins the per-process seed decorrelation fold used when no
+rand_seed is given.
 """
 
 import json
@@ -26,7 +30,6 @@ REPO = os.path.dirname(HERE)
 
 NUM_ENVS = 8
 STEPS = 6
-GAME = "maze"
 
 _WORKER = r"""
 import json, os, sys
@@ -55,61 +58,32 @@ import numpy as np
 import jax.numpy as jnp
 
 sys.path.insert(0, {repo!r})
-from procgen_tpu.core import lifecycle
-from procgen_tpu.core.constants import EASY_MODE, INT32_MAX
-from procgen_tpu.core.options import GameOptions
-from procgen_tpu.games.registry import make_game
-from procgen_tpu.parallel.sharding import env_sharding, make_mesh
-from procgen_tpu.parallel.vec import reset_pending
-from procgen_tpu.render.renderer import render_obs
-from procgen_tpu.utils.host_mt import HostMT19937
+from procgen_tpu.env import ProcgenGym3Env
+from procgen_tpu.parallel.sharding import make_mesh
 
 NUM_ENVS = {num_envs}
 STEPS = {steps}
 
-game = make_game(
-    {game!r},
-    GameOptions(distribution_mode=EASY_MODE, use_monochrome_assets=True),
+# the PRODUCT path: fused step = logic + pool auto-reset + textured render
+env = ProcgenGym3Env(
+    num=NUM_ENVS, env_name={game!r}, rand_seed=7,
+    distribution_mode="easy", mesh=make_mesh(),
 )
-game.level_seed_low, game.level_seed_high = 0, INT32_MAX
-master = HostMT19937(7)
-seeds_np = np.array([master.next_u32() for _ in range(NUM_ENVS)], np.uint32)
+vec = env._vec
 
-mesh = make_mesh()
-sh = env_sharding(mesh)
-seeds = jax.device_put(jnp.asarray(seeds_np), sh)
-
-
-@jax.jit
-def init(seeds):
-    st = jax.vmap(lambda sd: lifecycle.initial_state(game, sd))(seeds)
-    return jax.vmap(lambda s: lifecycle.env_reset(game, s))(st)
-
-
-@jax.jit
-def step(states, actions):
-    states, needs = jax.vmap(lambda s, a: lifecycle.env_step(game, s, a))(
-        states, actions
-    )
-    states = reset_pending(game, states, needs, 4)
-    obs = jax.vmap(lambda s: render_obs(game, s, 64))(states)
-    return states, obs
-
-
-states = init(seeds)
 rng = np.random.RandomState(5)
 acts = rng.randint(0, 15, size=(STEPS, NUM_ENVS)).astype(np.int32)
 
 rows = []
 for t in range(STEPS):
-    a = jax.device_put(jnp.asarray(acts[t]), sh)
-    states, obs = step(states, a)
+    vec.act(acts[t])
+    obs, rew, first, info = vec.observe()
     # collect this process's addressable shard values (global indices kept)
     shard_data = {{}}
     for name, arr in (
-        ("reward", states.reward),
-        ("done", states.done),
-        ("seed", states.current_level_seed),
+        ("reward", rew),
+        ("first", first),
+        ("seed", info["level_seed"]),
         ("obs", obs),
     ):
         for s in arr.addressable_shards:
@@ -132,9 +106,9 @@ def _free_port():
     return port
 
 
-def _run_workers(nproc, tmp):
+def _run_workers(nproc, tmp, game):
     script = _WORKER.format(
-        repo=REPO, num_envs=NUM_ENVS, steps=STEPS, game=GAME
+        repo=REPO, num_envs=NUM_ENVS, steps=STEPS, game=game
     )
     coord = f"127.0.0.1:{_free_port()}"
     procs, outs = [], []
@@ -176,12 +150,13 @@ def _merge(rows_per_proc):
 
 
 @pytest.mark.slow
-def test_two_process_matches_single():
+@pytest.mark.parametrize("game", ["maze", "dodgeball"])
+def test_two_process_matches_single(game):
     with tempfile.TemporaryDirectory() as tmp:
-        single = _merge(_run_workers(1, tmp))
-        double = _merge(_run_workers(2, tmp))
+        single = _merge(_run_workers(1, tmp, game))
+        double = _merge(_run_workers(2, tmp, game))
     for t in range(STEPS):
-        for name in ("reward", "done", "seed", "obs"):
+        for name in ("reward", "first", "seed", "obs"):
             np.testing.assert_array_equal(
                 single[t][name], double[t][name],
                 err_msg=f"step {t} field {name}",

@@ -87,22 +87,25 @@ def test_import_reference_state_and_replay_tail(env_name):
     )
     vec.set_state_pytree(batched)
 
+    # the whole tail in one fused device program (bit-equivalent to
+    # per-step act/observe — tools/conformance.py uses the same path)
+    _obs, rew, first, info = vec.rollout_full(actions[T + 1 :])
+    rews = np.asarray(rew)
+    firsts = np.asarray(first).astype(bool)
+    infos = {k: np.asarray(v) for k, v in info.items()}
+
     has_latents = "latents" in rec
     wmax = int(game.WORLD_DIM_MAX[0]) if has_latents else 0
-    for t in range(T + 1, len(actions)):
-        env.act(actions[t])
-        rew, obs, first = env.observe()
-        info = env.get_info()
+    for i, t in enumerate(range(T + 1, len(actions))):
         np.testing.assert_array_equal(
-            np.float32(np.asarray(rew)),
+            np.float32(rews[i]),
             np.float32(rec["rewards"][t]),
             err_msg=f"step {t} reward",
         )
         np.testing.assert_array_equal(
-            np.asarray(first).astype(bool), rec["firsts"][t],
-            err_msg=f"step {t} first",
+            firsts[i], rec["firsts"][t], err_msg=f"step {t} first"
         )
-        assert [int(i["level_seed"]) for i in info] == rec["level_seeds"][t], (
+        assert infos["level_seed"][i].tolist() == rec["level_seeds"][t], (
             f"step {t} level_seed"
         )
         if not has_latents:
@@ -112,14 +115,13 @@ def test_import_reference_state_and_replay_tail(env_name):
             w = lat["grid_widths"][e]
             h = lat["grid_heights"][e]
             got = (
-                np.asarray(info[e]["grid"]).reshape(-1, wmax)[:h, :w]
-                .reshape(-1)
+                infos["grid"][i, e].reshape(-1, wmax)[:h, :w].reshape(-1)
             )
             want = np.asarray(lat["grids"][e])
             np.testing.assert_array_equal(got, want, err_msg=f"step {t} grid")
             assert (
-                int(info[e]["agent_pos"][0]),
-                int(info[e]["agent_pos"][1]),
+                int(infos["agent_pos"][i, e, 0]),
+                int(infos["agent_pos"][i, e, 1]),
             ) == (lat["agent_xs"][e], lat["agent_ys"][e]), f"step {t} agent"
 
 

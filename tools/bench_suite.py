@@ -73,19 +73,38 @@ def bench_config(label, env_name, num, mode, kwargs, steps, warmup=100,
         # obs rendered inside the fused step program)
         return vec.observe()[0]
 
+    # Tiny batches (the reference's own num_envs=64 benchmark config,
+    # env_test.py:55-68) are dispatch-bound on a TPU: one step program
+    # outruns its host dispatch.  The production fast path for that
+    # regime is JaxVecGame.rollout(actions[k]) — k steps fused into one
+    # device program via lax.scan, bit-equivalent to k act() calls — so
+    # the bench drives it whenever it exists and the batch is small.
+    rollout_k = 50 if (num <= 256 and hasattr(vec, "rollout")) else 0
+
     # compile + steady-state warm-in (discarded)
-    for t in range(warmup):
-        env.act(actions[t])
-    jax.block_until_ready(device_observe())
+    if rollout_k:
+        for lo in range(0, warmup, rollout_k):
+            outs = vec.rollout(actions[lo : lo + rollout_k])
+        jax.block_until_ready(outs[0])
+    else:
+        for t in range(warmup):
+            env.act(actions[t])
+        jax.block_until_ready(device_observe())
 
     rates = []
     t = warmup
     for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            env.act(actions[t])
-            t += 1
-        jax.block_until_ready(device_observe())
+        if rollout_k:
+            for lo in range(t, t + steps, rollout_k):
+                outs = vec.rollout(actions[lo : lo + rollout_k])
+            jax.block_until_ready(outs[0])
+            t += steps
+        else:
+            for _ in range(steps):
+                env.act(actions[t])
+                t += 1
+            jax.block_until_ready(device_observe())
         rates.append(steps * num / (time.perf_counter() - t0))
     med = float(np.median(rates))
     return {
