@@ -153,6 +153,9 @@ def test_export_roundtrips_through_import(env_name):
             )
 
 
+@pytest.mark.slow  # spawns the oracle per game; proof log committed at
+# tests/data/refstate/export_replay.log (the fast import∘export
+# round-trip above stays in the default gate)
 @pytest.mark.skipif(
     not os.path.exists(ENGINE),
     reason="oracle engine not built (python tools/refharness/build.py)",
